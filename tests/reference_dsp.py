@@ -156,3 +156,196 @@ def error_db(a: np.ndarray, b: np.ndarray, ref_peak: float | None = None) -> flo
     if err == 0.0:
         return -np.inf
     return 20.0 * math.log10(err / peak)
+
+
+# ---------------------------------------------------------------------------
+# TPT filter core (src/utils/dsp/filters/biquad.rs:320-340, svf.rs:215-235)
+# ---------------------------------------------------------------------------
+
+
+def tpt_filter(x, a1, a2, a3, m0, m1, m2, ic1=0.0, ic2=0.0):
+    """f64 per-sample oracle. Coefficients may be scalars or arrays[n]."""
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    a1, a2, a3, m0, m1, m2 = [np.broadcast_to(np.asarray(c, np.float64), (n,)) for c in (a1, a2, a3, m0, m1, m2)]
+    y = np.empty(n)
+    for i in range(n):
+        v0 = x[i]
+        v3 = v0 - ic2
+        v1 = a1[i] * ic1 + a2[i] * v3
+        v2 = ic2 + a2[i] * ic1 + a3[i] * v3
+        ic1 = 2.0 * v1 - ic1
+        ic2 = 2.0 * v2 - ic2
+        y[i] = m0[i] * v0 + m1[i] * v1 + m2[i] * v2
+    return y, (ic1, ic2)
+
+
+def dc_filter(x, r, y1=0.0, x1=0.0):
+    x = np.asarray(x, np.float64)
+    y = np.empty(len(x))
+    for i, s in enumerate(x):
+        y1 = s - x1 + r * y1
+        x1 = s
+        y[i] = y1
+    return y
+
+
+# ---------------------------------------------------------------------------
+# AHDSR state machine (src/utils/ahdsr.rs) — f32, unscaled path
+# ---------------------------------------------------------------------------
+
+
+class Ahdsr:
+    def __init__(self, sr, attack, hold, decay, sustain, release):
+        self.sr = sr
+        self.attack_rate = F32(1.0 / (attack * sr)) if attack > 0 else np.float32(np.finfo(np.float32).max)
+        self.hold_time = hold
+        self.decay_time = decay
+        self.decay_rate = F32((1.0 - sustain) / (decay * sr)) if decay > 0 else np.float32(np.finfo(np.float32).max)
+        self.sustain = F32(sustain)
+        self.release_time = release
+        self.release_rate = F32(1.0 / (release * sr)) if release > 0 else np.float32(np.finfo(np.float32).max)
+        self.stage = "idle"
+        self.output = F32(0.0)
+        self.target_volume = F32(0.0)
+        self.hold_remaining = F32(0.0)
+        self.release_output = F32(0.0)
+
+    def note_on(self, volume):
+        self.target_volume = F32(volume)
+        if self.attack_rate == np.finfo(np.float32).max:
+            self.output = F32(volume)
+            if self.hold_time > 0:
+                self.stage = "hold"
+                self.hold_remaining = F32(self.hold_time * self.sr)
+            else:
+                self.stage = "decay"
+        else:
+            self.output = F32(0.0)
+            self.stage = "attack"
+
+    def note_off(self):
+        if self.release_time > 0:
+            self.target_volume = F32(0.0)
+            self.release_output = self.output
+            self.stage = "release" if self.release_output > np.finfo(np.float32).eps else "idle"
+        else:
+            self.output = F32(0.0)
+            self.release_output = F32(0.0)
+            self.stage = "idle"
+
+    def run(self):
+        if self.stage == "attack":
+            self.output = F32(self.output + self.attack_rate)
+            if self.output >= self.target_volume:
+                self.output = self.target_volume
+                self.target_volume = self.sustain
+                if self.hold_time > 0:
+                    self.stage = "hold"
+                    self.hold_remaining = F32(self.hold_time * self.sr)
+                else:
+                    self.stage = "decay"
+        elif self.stage == "hold":
+            self.hold_remaining = F32(self.hold_remaining - 1.0)
+            if self.hold_remaining <= 0.0:
+                self.stage = "sustain" if self.decay_time == 0 else "decay"
+        elif self.stage == "decay":
+            if self.output > self.sustain:
+                self.output = F32(self.output - self.decay_rate)
+                if self.output <= self.sustain:
+                    self.output = self.sustain
+                    self.stage = "sustain"
+            else:
+                self.output = F32(self.output + self.decay_rate)
+                if self.output >= self.sustain:
+                    self.output = self.sustain
+                    self.stage = "sustain"
+        elif self.stage == "release":
+            self.output = F32(self.output - self.release_output * self.release_rate)
+            if self.output <= 0.001:
+                self.output = F32(0.0)
+                self.stage = "idle"
+        return float(self.output)
+
+    def run_block(self, n):
+        return np.array([self.run() for _ in range(n)], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# LFO deterministic waveforms (src/utils/dsp/lfo.rs)
+# ---------------------------------------------------------------------------
+
+
+def sine_approx(x):
+    B = 4.0 / math.pi
+    C = -4.0 / (math.pi * math.pi)
+    P = 0.225
+    y = B * x + C * x * abs(x)
+    return P * (y * abs(y) - y) + y
+
+
+def lfo_run(waveform, phase0, inc, n):
+    phase = phase0
+    out = np.empty(n, np.float32)
+    for i in range(n):
+        if waveform == "sine":
+            p = phase * 2 * math.pi if phase < 0.5 else (phase - 1.0) * 2 * math.pi
+            out[i] = sine_approx(p)
+        elif waveform == "triangle":
+            out[i] = phase * 4 if phase < 0.25 else (2.0 - phase * 4 if phase < 0.75 else phase * 4 - 4)
+        elif waveform == "ramp_up":
+            out[i] = phase * 2 - 1
+        elif waveform == "ramp_down":
+            out[i] = 1 - phase * 2
+        elif waveform == "square":
+            out[i] = 1.0 if phase < 0.5 else -1.0
+        phase += inc
+        if phase >= 1.0:
+            phase -= 1.0
+    return out
+
+
+def envelope_follower(x, attack_coef, release_coef, y0=0.0):
+    y = np.float32(y0)
+    out = np.empty(len(x), np.float32)
+    for i, v in enumerate(np.asarray(x, np.float32)):
+        c = attack_coef if v > y else release_coef
+        y = F32(v + c * (y - v))
+        out[i] = y
+    return out
+
+
+class Fader:
+    """src/utils/fader.rs (per-frame gain only)."""
+
+    def __init__(self, sr):
+        self.sr = sr
+        self.state = "stopped"
+        self.current = F32(1.0)
+        self.target = F32(1.0)
+        self.inertia = F32(1.0)
+
+    def start(self, from_v, to_v, duration):
+        if duration == 0:
+            self.current = F32(to_v)
+            self.target = F32(to_v)
+            self.state = "finished"
+        else:
+            self.state = "running"
+            self.current = F32(from_v)
+            self.target = F32(to_v)
+            samples = self.sr * duration / 4.605
+            self.inertia = F32(1.0 - math.exp(-1.0 / samples))
+
+    def gains(self, n):
+        """per-frame gains for one block, reference block semantics"""
+        out = np.empty(n, np.float32)
+        if self.state != "running":
+            out[:] = self.target if self.state == "finished" else 1.0
+            return out
+        for i in range(n):
+            self.current = F32(self.current + (self.target - self.current) * self.inertia)
+            out[i] = self.current
+        if abs(self.current - self.target) < 0.0001:
+            self.state = "finished"
+        return out
