@@ -1,0 +1,180 @@
+"""WAV file reading/writing in pure NumPy (host-side I/O edge).
+
+Behavioural spec: the reference decodes via symphonia (wav/aiff/flac/mp3/...,
+reference Cargo.toml:46-56) and writes 32-bit-float WAVs via hound
+(src/output/wav.rs:117-143).  This module covers RIFF/WAVE with PCM u8/i16/
+i24/i32, float32/float64, WAVE_FORMAT_EXTENSIBLE, and the RIFF ``smpl``
+loop-chunk the reference parses for sampler loop ranges
+(src/source/file/decoder.rs:27-65).
+
+Audio is exchanged as planar float32 ``[channels, frames]`` — the engine's
+native layout; interleaving happens only here at the file edge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from pathlib import Path
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+# smpl chunk loop modes (RIFF spec; reference src/source/file/decoder.rs:27-43)
+LOOP_FORWARD = 0
+LOOP_PINGPONG = 1
+LOOP_BACKWARD = 2
+
+
+@dataclasses.dataclass
+class LoopInfo:
+    mode: int  # LOOP_FORWARD / LOOP_PINGPONG / LOOP_BACKWARD
+    start: int  # frame index, inclusive
+    end: int  # frame index, inclusive (RIFF semantics)
+
+
+@dataclasses.dataclass
+class WavInfo:
+    sample_rate: int
+    channels: int
+    frames: int
+    bits: int
+    format_tag: int
+    loops: list[LoopInfo]
+
+
+def _iter_chunks(data: bytes):
+    pos = 12  # past 'RIFF' size 'WAVE'
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def read_wav_info(path) -> WavInfo:
+    data = Path(path).read_bytes()
+    return _parse(data, info_only=True)[1]
+
+
+def read_wav(path) -> tuple[np.ndarray, WavInfo]:
+    """Returns (float32 [channels, frames], WavInfo)."""
+    data = Path(path).read_bytes()
+    return _parse(data, info_only=False)
+
+
+def _parse(data: bytes, info_only: bool):
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = None
+    audio = None
+    n_data = 0
+    loops: list[LoopInfo] = []
+    for cid, off, size in _iter_chunks(data):
+        if cid == b"fmt ":
+            tag, ch, sr, _br, block_align, bits = struct.unpack_from("<HHIIHH", data, off)
+            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                (sub,) = struct.unpack_from("<H", data, off + 24)
+                tag = sub
+            fmt = (tag, ch, sr, bits, block_align)
+        elif cid == b"data":
+            n_data = min(size, len(data) - off)
+            if not info_only:
+                audio = data[off : off + n_data]
+        elif cid == b"smpl" and size >= 36:
+            (n_loops,) = struct.unpack_from("<I", data, off + 28)
+            for i in range(n_loops):
+                base = off + 36 + i * 24
+                if base + 24 > off + size:
+                    break
+                _ident, mode, start, end, _frac, _count = struct.unpack_from(
+                    "<IIIIII", data, base
+                )
+                loops.append(LoopInfo(mode=mode, start=start, end=end))
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    tag, ch, sr, bits, block_align = fmt
+    bytes_per_frame = block_align if block_align else ch * (bits // 8)
+    frames = n_data // bytes_per_frame if bytes_per_frame else 0
+    info = WavInfo(sample_rate=sr, channels=ch, frames=frames, bits=bits,
+                   format_tag=tag, loops=loops)
+    if info_only:
+        return None, info
+
+    raw = np.frombuffer(audio, np.uint8)[: frames * bytes_per_frame]
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        dtype = np.float32 if bits == 32 else np.float64
+        x = raw.view(dtype).astype(np.float32)
+    elif tag == WAVE_FORMAT_PCM:
+        if bits == 8:
+            x = (raw.astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            x = raw.view("<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = raw.reshape(-1, 3)
+            vals = (
+                b[:, 0].astype(np.uint32)
+                | (b[:, 1].astype(np.uint32) << 8)
+                | (b[:, 2].astype(np.uint32) << 16)
+            ).astype(np.int32)
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = raw.view("<i4").astype(np.float32) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
+    x = x.reshape(frames, ch).T.copy()  # planar [channels, frames]
+    return x, info
+
+
+def write_wav(path, audio: np.ndarray, sample_rate: int, bits: int = 32, float_format: bool = True):
+    """Write planar float32 [channels, frames] (or [frames] mono).
+
+    Default: 32-bit float, matching the reference's offline render output
+    (src/output/wav.rs:97-105)."""
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    ch, frames = audio.shape
+    inter = np.ascontiguousarray(audio.T)  # [frames, channels]
+
+    if float_format:
+        if bits != 32:
+            raise ValueError("float WAV must be 32-bit")
+        payload = inter.astype("<f4").tobytes()
+        tag = WAVE_FORMAT_IEEE_FLOAT
+    else:
+        if bits == 16:
+            clipped = np.clip(inter, -1.0, 1.0)
+            payload = (clipped * 32767.0).round().astype("<i2").tobytes()
+        elif bits == 24:
+            clipped = np.clip(inter, -1.0, 1.0)
+            v = (clipped * float((1 << 23) - 1)).round().astype(np.int32)
+            b = np.empty((v.size, 3), np.uint8)
+            flat = v.reshape(-1)
+            b[:, 0] = flat & 0xFF
+            b[:, 1] = (flat >> 8) & 0xFF
+            b[:, 2] = (flat >> 16) & 0xFF
+            payload = b.tobytes()
+        elif bits == 32:
+            clipped = np.clip(inter, -1.0, 1.0)
+            payload = (clipped * float((1 << 31) - 1)).round().astype("<i4").tobytes()
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+        tag = WAVE_FORMAT_PCM
+
+    byte_rate = sample_rate * ch * bits // 8
+    block_align = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)

@@ -1,0 +1,164 @@
+"""Resampling: 4-point Hermite (default) and polyphase windowed-sinc (HQ).
+
+Behavioural spec:
+  - default quality: reference src/utils/resampler/cubic.rs — 4-point
+    3rd-order Hermite x-form (Niemitalo, deip.pdf p. 43, :121-142)
+  - high quality: reference src/utils/resampler/rubato.rs — bandlimited sinc
+    via the rubato crate; reimplemented here as a polyphase Kaiser-windowed
+    sinc FIR (a gather + small dot product, MXU/VPU friendly)
+
+Design difference from the reference (intentional): the reference streams
+through stateful per-channel interpolators with push/consume bookkeeping; on
+TPU every output sample's source position is computed *analytically*
+(`pos[j] = pos0 + cumsum(step)`), so an arbitrarily speed-glided, looped read
+becomes one vectorised gather + polynomial per block.  The reference's two
+stream branches differ by a one-sample latency quirk
+(src/utils/resampler/cubic.rs:71-112); we use the zero-offset positional
+definition everywhere.
+
+Out-of-range positions read zeros (the reference zero-pads at EOF,
+src/source/resampled.rs:104-152, and appends one guard frame to every
+preloaded buffer, src/source/file/buffer.rs:103-105).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def hermite_read(buf, positions, fill=0.0):
+    """Read fractional ``positions`` from ``buf`` with 4-point Hermite
+    interpolation.
+
+    buf: [..., frames] (channels lead); positions: [n] (or broadcastable to
+    buf's batch dims + [n]).  Positions outside [0, frames-1] produce
+    ``fill`` contributions from the missing taps.
+    """
+    buf = jnp.asarray(buf)
+    frames = buf.shape[-1]
+    pos = jnp.asarray(positions, jnp.float32)
+    k = jnp.floor(pos)
+    frac = (pos - k).astype(buf.dtype)
+    ki = k.astype(jnp.int32)
+
+    def tap(offset):
+        idx = ki + offset
+        valid = (idx >= 0) & (idx < frames)
+        safe = jnp.clip(idx, 0, frames - 1)
+        v = jnp.take(buf, safe, axis=-1)
+        return jnp.where(valid, v, jnp.asarray(fill, buf.dtype))
+
+    ym1, y0, y1, y2 = tap(-1), tap(0), tap(1), tap(2)
+    # Niemitalo x-form coefficients (src/utils/resampler/cubic.rs:128-141)
+    c0 = y0
+    c1 = (y1 - ym1) * 0.5
+    c2 = ym1 - y0 * 2.5 + y1 * 2.0 - y2 * 0.5
+    c3 = (y2 - ym1) * 0.5 + (y0 - y1) * 1.5
+    return ((c3 * frac + c2) * frac + c1) * frac + c0
+
+
+def catmull_rom_read(buf, positions, fill=0.0):
+    """Alias: the granular engine's 4-point read
+    (src/generator/sampler/granular.rs:899-933) uses the same Hermite
+    x-form."""
+    return hermite_read(buf, positions, fill)
+
+
+# ---------------------------------------------------------------------------
+# Polyphase windowed sinc (HQ)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def sinc_table(taps: int = 32, phases: int = 512, cutoff: float = 1.0, beta: float = 9.0):
+    """Kaiser-windowed sinc prototype, tabulated per fractional phase.
+
+    Returns float32 [phases + 1, taps]; row p is the FIR for fractional
+    position p/phases.  ``cutoff`` (0..1, fraction of the *output* Nyquist)
+    must be set to ~1/ratio when downsampling for anti-aliasing.
+    """
+    half = taps // 2
+    # tap k of phase p reads input[floor(pos) - half + 1 + k]; its distance
+    # to the read position is (k - half + 1 - p/phases)
+    p = np.arange(phases + 1)[:, None] / phases
+    k = np.arange(taps)[None, :]
+    x = k - half + 1.0 - p  # tap distance to the read position, in [-half, half]
+    window = np.kaiser(2 * half * phases + 1, beta)
+    wi = np.clip(np.round(x * phases).astype(np.int64) + half * phases, 0, len(window) - 1)
+    h = cutoff * np.sinc(cutoff * x) * window[wi]
+    h /= h.sum(axis=1, keepdims=True)  # unity DC gain per phase
+    return jnp.asarray(h, jnp.float32)
+
+
+def sinc_read(buf, positions, table, fill=0.0):
+    """Bandlimited read of fractional ``positions`` using a polyphase table
+    from :func:`sinc_table`.  Linear interpolation between adjacent phase
+    rows gives continuously-variable fractional delay."""
+    buf = jnp.asarray(buf)
+    frames = buf.shape[-1]
+    taps = table.shape[1]
+    phases = table.shape[0] - 1
+    half = taps // 2
+
+    pos = jnp.asarray(positions, jnp.float32)
+    k = jnp.floor(pos)
+    frac = pos - k
+    ki = k.astype(jnp.int32)
+
+    ph = frac * phases
+    p0 = jnp.floor(ph).astype(jnp.int32)
+    pf = (ph - p0).astype(buf.dtype)
+    h = table[p0] * (1.0 - pf[..., None]) + table[jnp.clip(p0 + 1, 0, phases)] * pf[..., None]
+
+    # gather [n, taps] input windows
+    idx = ki[..., None] + (jnp.arange(taps, dtype=jnp.int32) - half + 1)
+    valid = (idx >= 0) & (idx < frames)
+    safe = jnp.clip(idx, 0, frames - 1)
+    v = jnp.take(buf, safe, axis=-1)
+    v = jnp.where(valid, v, jnp.asarray(fill, buf.dtype))
+    return jnp.sum(v * h, axis=-1)
+
+
+def resample_positions(n_out: int, ratio, pos0=0.0):
+    """Source positions for a fixed-ratio conversion: pos[j] = pos0 + j*ratio."""
+    return jnp.asarray(pos0, jnp.float32) + jnp.arange(n_out, dtype=jnp.float32) * jnp.asarray(
+        ratio, jnp.float32
+    )
+
+
+def glide_positions(steps, pos0=0.0):
+    """Source positions for speed-glided playback: exclusive cumsum of
+    per-output-sample steps (step = speed * in_rate / out_rate).  Returns
+    (positions[n], end_pos)."""
+    steps = jnp.asarray(steps, jnp.float32)
+    csum = jnp.cumsum(steps)
+    pos = jnp.asarray(pos0, jnp.float32) + jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), csum[:-1]]
+    )
+    return pos, jnp.asarray(pos0, jnp.float32) + csum[-1]
+
+
+def loop_fold(positions, loop_start, loop_end, mode: str = "forward"):
+    """Fold linear positions into a loop range.
+
+    forward:   start + (p - start) mod len        (wraps back to loop start)
+    pingpong:  triangle fold between start and end.
+    Positions before loop_start pass through unchanged (first pass).
+    """
+    p = jnp.asarray(positions, jnp.float32)
+    start = jnp.asarray(loop_start, jnp.float32)
+    end = jnp.asarray(loop_end, jnp.float32)
+    length = jnp.maximum(end - start, 1e-6)
+    rel = p - start
+    if mode == "forward":
+        folded = start + jnp.mod(rel, length)
+    elif mode == "pingpong":
+        cycle = jnp.mod(rel, 2.0 * length)
+        folded = start + jnp.where(cycle < length, cycle, 2.0 * length - cycle)
+    else:
+        raise ValueError(f"unknown loop mode {mode!r}")
+    return jnp.where(p < start, p, folded)

@@ -1,0 +1,173 @@
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from phonic_tpu.io import wav as wav_io
+from phonic_tpu.io import AudioFileBuffer, decode_file, file_info
+from phonic_tpu.errors import UnsupportedFormatError
+from phonic_tpu.ops import resample
+
+import reference_dsp as ref
+
+SR = 48000
+
+
+def make_tone(frames=4800, channels=2, freq=440.0, sr=SR):
+    t = np.arange(frames) / sr
+    x = np.stack([0.5 * np.sin(2 * np.pi * freq * t * (c + 1)) for c in range(channels)])
+    return x.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# WAV I/O
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits,float_format,tol", [
+    (32, True, 0.0), (16, False, 1 / 32000), (24, False, 1 / 8e6), (32, False, 1e-7),
+])
+def test_wav_roundtrip(tmp_path, bits, float_format, tol):
+    x = make_tone()
+    p = tmp_path / "t.wav"
+    wav_io.write_wav(p, x, SR, bits=bits, float_format=float_format)
+    y, info = wav_io.read_wav(p)
+    assert info.sample_rate == SR and info.channels == 2 and info.frames == x.shape[1]
+    np.testing.assert_allclose(y, x, atol=max(tol, 1e-9))
+
+
+def test_wav_smpl_loop_chunk(tmp_path):
+    # hand-build a WAV with an smpl loop chunk
+    x = make_tone(1000, 1)
+    p = tmp_path / "loop.wav"
+    wav_io.write_wav(p, x, SR)
+    raw = p.read_bytes()
+    smpl = struct.pack("<9I", 0, 0, 1000000000 // SR, 60, 0, 0, 0, 1, 0)
+    smpl += struct.pack("<6I", 0, wav_io.LOOP_FORWARD, 100, 899, 0, 0)
+    chunk = b"smpl" + struct.pack("<I", len(smpl)) + smpl
+    new = raw[:4] + struct.pack("<I", len(raw) - 8 + len(chunk)) + raw[8:] + chunk
+    p.write_bytes(new)
+
+    buf = AudioFileBuffer.from_file(p)
+    assert buf.loop_range == (100, 900)  # inclusive end -> half-open
+    assert buf.loop_mode == "forward"
+    assert buf.frames == 1000
+    assert buf.data.shape == (1, 1001)  # guard frame appended
+    assert buf.data[0, -1] == 0.0
+
+
+def test_unsupported_format_message(tmp_path):
+    p = tmp_path / "f.flac"
+    p.write_bytes(b"fLaC" + b"\x00" * 64)
+    with pytest.raises(UnsupportedFormatError, match="flac"):
+        decode_file(p)
+
+
+def test_file_info_probe(tmp_path):
+    x = make_tone(2400)
+    p = tmp_path / "t.wav"
+    wav_io.write_wav(p, x, SR)
+    info = file_info(p)
+    assert info.frames == 2400
+    assert abs(info.duration_secs - 0.05) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Hermite resampling
+# ---------------------------------------------------------------------------
+
+
+def hermite_oracle(buf, positions):
+    """NumPy positional oracle of the Niemitalo x-form."""
+    out = np.zeros(len(positions), np.float64)
+    n = len(buf)
+    for j, p in enumerate(positions):
+        k = int(np.floor(p))
+        f = p - k
+        def g(i):
+            return buf[i] if 0 <= i < n else 0.0
+        ym1, y0, y1, y2 = g(k - 1), g(k), g(k + 1), g(k + 2)
+        c0 = y0
+        c1 = (y1 - ym1) * 0.5
+        c2 = ym1 - y0 * 2.5 + y1 * 2.0 - y2 * 0.5
+        c3 = (y2 - ym1) * 0.5 + (y0 - y1) * 1.5
+        out[j] = ((c3 * f + c2) * f + c1) * f + c0
+    return out
+
+
+def test_hermite_read_matches_oracle():
+    rng = np.random.default_rng(3)
+    buf = rng.normal(size=256).astype(np.float32)
+    pos = np.sort(rng.uniform(-2, 258, 512)).astype(np.float32)
+    got = np.asarray(resample.hermite_read(jnp.asarray(buf), jnp.asarray(pos)))
+    expected = hermite_oracle(buf, pos)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_hermite_exact_at_integers():
+    buf = np.arange(32, dtype=np.float32)
+    pos = jnp.arange(1, 30, dtype=jnp.float32)
+    got = np.asarray(resample.hermite_read(jnp.asarray(buf), pos))
+    np.testing.assert_allclose(got, np.arange(1, 30), atol=1e-6)
+
+
+def test_resample_energy_and_length():
+    # mirrors the reference's own resampling unit test approach
+    # (src/source/file/preloaded.rs:480-534): length ratio + energy conservation
+    sr_in, sr_out = 44100, 48000
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    ratio = sr_in / sr_out
+    n_out = int(len(x) / ratio) - 4
+    pos = resample.resample_positions(n_out, ratio)
+    y = np.asarray(resample.hermite_read(jnp.asarray(x), pos))
+    rms_in = np.sqrt(np.mean(x**2))
+    rms_out = np.sqrt(np.mean(y**2))
+    assert abs(rms_in - rms_out) / rms_in < 0.01
+
+
+def test_sinc_read_better_than_hermite_on_downsample():
+    # 2x downsample of a tone near the new nyquist: sinc must suppress the alias
+    sr_in = 96000
+    t = np.arange(sr_in // 4) / sr_in
+    f = 30000.0  # above 48k nyquist -> must vanish after AA filtering
+    x = np.sin(2 * np.pi * f * t).astype(np.float32)
+    pos = resample.resample_positions(len(x) // 2 - 32, 2.0, pos0=16.0)
+    table = resample.sinc_table(taps=32, phases=256, cutoff=0.5)
+    y_sinc = np.asarray(resample.sinc_read(jnp.asarray(x), pos, table))
+    y_herm = np.asarray(resample.hermite_read(jnp.asarray(x), pos))
+    assert np.sqrt(np.mean(y_sinc**2)) < 0.02  # alias killed
+    assert np.sqrt(np.mean(y_herm**2)) > 0.1  # hermite aliases (expected)
+
+
+def test_sinc_passband_accuracy():
+    sr_in = 44100
+    t = np.arange(8192) / sr_in
+    x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    ratio = 44100 / 48000
+    n_out = int(len(x) / ratio) - 64
+    pos = resample.resample_positions(n_out, ratio, pos0=32.0)
+    table = resample.sinc_table()
+    y = np.asarray(resample.sinc_read(jnp.asarray(x), pos, table))
+    t_out = (np.asarray(pos)) / sr_in
+    expected = np.sin(2 * np.pi * 1000 * t_out)
+    err = ref.error_db(y, expected, ref_peak=1.0)
+    assert err < -60.0, f"sinc passband err {err:.1f} dB"
+
+
+def test_glide_positions():
+    steps = jnp.concatenate([jnp.full((100,), 1.0), jnp.full((100,), 2.0)])
+    pos, end = resample.glide_positions(steps, pos0=5.0)
+    assert float(pos[0]) == 5.0
+    assert float(pos[100]) == 105.0
+    assert float(end) == 305.0
+
+
+def test_loop_fold_forward_and_pingpong():
+    pos = jnp.arange(0, 40, dtype=jnp.float32)
+    fwd = np.asarray(resample.loop_fold(pos, 10, 20, "forward"))
+    np.testing.assert_allclose(fwd[:20], np.arange(20))  # pre-loop + first pass
+    np.testing.assert_allclose(fwd[20:30], np.arange(10, 20))  # wrapped
+    pp = np.asarray(resample.loop_fold(pos, 10, 20, "pingpong"))
+    np.testing.assert_allclose(pp[20:30], np.arange(20, 10, -1))  # reflected
