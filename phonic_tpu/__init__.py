@@ -1,0 +1,20 @@
+"""phonic_tpu — a TPU-native batched audio rendering engine in JAX.
+
+A ground-up rebuild of the capabilities of emuell/phonic (a Rust real-time
+audio playback + DSP library) designed for XLA: render graphs compile to
+single jitted block programs, recursive DSP runs as parallel associative
+scans, voices/grains/stems batch under vmap, and sample-accurate event
+scheduling lowers to closed-form parameter ramps.
+"""
+
+from .config import EngineConfig, DEFAULT_CONFIG
+from .errors import (
+    PhonicError, MediaFileError, UnsupportedFormatError, OutputDeviceError,
+    ResamplingError, NotFoundError, ParameterError, SendError,
+)
+from .graph.mixer import Mixer
+from .graph.engine import RenderProgram
+from .sources.file import FileSource, FilePlaybackOptions
+from .io.decoder import AudioFileBuffer, AudioFileInfo
+
+__version__ = "0.1.0"

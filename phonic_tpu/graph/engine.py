@@ -1,0 +1,325 @@
+"""Graph compiler + block render engine.
+
+This is the TPU replacement for the reference's pull-model audio thread
+(src/source/mixed.rs:659-719 + src/output/wav.rs:210-250): the host holds the
+graph topology and event timelines; `RenderProgram` traces the whole tree —
+every source, effect chain and parameter smoother — into ONE jitted function
+
+    step(state, block_inputs) -> (state, audio[channels, block])
+
+and renders by scanning it over blocks (fully on device via ``lax.scan`` for
+offline renders, or a host loop for streaming).  Sample-accurate automation
+arrives as fixed-shape SegmentEvents tensors per (node, parameter) per block
+(events.py), applied by the closed-form smoothers in ops/smoothing.py.
+
+Mixer summation and "sub-mixer parallelism" fall out of XLA fusion — the
+reference's RT thread pool (submixer/thread_pool.rs) has no analog here
+because there is no scheduler to outsmart: everything is one program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, DEFAULT_INERTIA, EngineConfig
+from ..errors import NotFoundError
+from ..events import ParamTimeline
+from ..ops import smoothing
+from ..params import BooleanParameter, EnumParameter, FloatParameter, IntegerParameter
+from .mixer import Mixer
+from .nodes import BuildCtx, Node
+
+# int32-safe sentinel: single renders are limited to 2^31-1 frames (~12.4 h
+# at 48 kHz) so the engine works without jax_enable_x64
+NEVER = np.iinfo(np.int32).max
+
+
+def _step_targets(current, events: smoothing.SegmentEvents, n: int):
+    """Un-smoothed (stepped) per-sample targets for smoothing=None params."""
+    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), events.times])
+    valid = seg_start < n
+    raw = jnp.concatenate([current[None], events.values])
+
+    def carry(prev, xs):
+        v, ok = xs
+        cur = jnp.where(ok, v, prev)
+        return cur, cur
+
+    _, seg_vals = jax.lax.scan(carry, raw[0], (raw, valid), unroll=True)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_of = jnp.searchsorted(seg_start, idx, side="right") - 1
+    return seg_vals[-1], seg_vals[seg_of]
+
+
+class RenderProgram:
+    """A compiled render program for one graph topology."""
+
+    def __init__(self, root: Mixer, config: EngineConfig = DEFAULT_CONFIG):
+        self.root = root
+        self.config = config
+        self.ctx = BuildCtx(
+            sample_rate=config.sample_rate,
+            channels=config.channels,
+            block_frames=config.block_frames,
+            max_events=config.max_events_per_block,
+        )
+        self._index_nodes()
+        # automation timelines per (path, param)
+        self.timelines: dict[tuple[str, str], ParamTimeline] = {}
+        for path, node in self.nodes.items():
+            initials = node.param_initials()
+            for p in node.PARAMS:
+                self.timelines[(path, p.id)] = ParamTimeline(
+                    initial=float(initials.get(p.id, p.default))
+                )
+        # scheduled stop/kill frames per source path (NEVER = none)
+        self.stop_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
+        self.kill_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
+        # no buffer donation: init-state zeros alias across nodes
+        self._jit_step = jax.jit(self._step)
+
+    def _index_nodes(self):
+        self.nodes: dict[str, Node] = {}
+        self.source_paths: list[str] = []
+        self.path_of: dict[int, str] = {}
+        for path, kind, obj in self.root.walk():
+            if kind == "mixer":
+                continue
+            if path in self.nodes:
+                raise ValueError(f"duplicate node path {path}")
+            self.nodes[path] = obj
+            self.path_of[id(obj)] = path
+            if kind == "source":
+                self.source_paths.append(path)
+
+    # ------------------------------------------------------------------
+    # control plane
+    # ------------------------------------------------------------------
+
+    def _resolve(self, node: Union[str, Node]) -> str:
+        if isinstance(node, str):
+            if node not in self.nodes:
+                raise NotFoundError(f"no node at path {node!r}")
+            return node
+        path = self.path_of.get(id(node))
+        if path is None:
+            raise NotFoundError(f"node {getattr(node, 'name', node)!r} not in graph")
+        return path
+
+    def set_parameter(self, node, pid: str, value, at_frame: int = 0):
+        """Schedule a parameter target change at an absolute output frame
+        (reference: sample-time-tagged ProcessEffectParameterUpdate,
+        src/source/mixed.rs:47-194)."""
+        path = self._resolve(node)
+        desc = self.nodes[path].param(pid)
+        raw = desc.clamp(value)
+        self.timelines[(path, pid)].set_at(at_frame, float(raw))
+
+    def stop_source(self, source, at_frame: int = 0, kill: bool = False):
+        """Schedule a stop (with the source's fade-out) or kill (hard cut)."""
+        path = self._resolve(source)
+        if path not in self.stop_frames:
+            raise NotFoundError(f"{path} is not a source")
+        if kill:
+            self.kill_frames[path] = min(self.kill_frames[path], int(at_frame))
+        else:
+            self.stop_frames[path] = min(self.stop_frames[path], int(at_frame))
+
+    def natural_duration_frames(self) -> Optional[int]:
+        """Longest finite source duration + effect tails, or None if endless."""
+        total = 0
+        for path in self.source_paths:
+            d = self.nodes[path].duration_frames(self.ctx)
+            stop = self.stop_frames[path]
+            kill = self.kill_frames[path]
+            if d is None and stop == NEVER and kill == NEVER:
+                return None
+            limit = min(x for x in (d, stop if stop != NEVER else None,
+                                    kill if kill != NEVER else None) if x is not None)
+            if stop != NEVER and limit == stop:
+                fade = getattr(self.nodes[path], "options", None)
+                limit += int((fade.fade_out_secs if fade else 0.05) * self.ctx.sample_rate) + 1
+            total = max(total, limit)
+        tail = self._total_tail()
+        return total + tail
+
+    def _total_tail(self) -> int:
+        def mixer_tail(m: Mixer) -> int:
+            t = max((mixer_tail(c) for c in m.children), default=0)
+            for e in m.effects:
+                t += e.tail_frames(self.ctx)
+            return t
+
+        return mixer_tail(self.root)
+
+    # ------------------------------------------------------------------
+    # state + inputs
+    # ------------------------------------------------------------------
+
+    def init_state(self):
+        smoothers = {}
+        node_states = {}
+        for path, node in self.nodes.items():
+            node_states[path] = node.init_state(self.ctx)
+            s = {}
+            initials = node.param_initials()
+            for p in node.PARAMS:
+                v = jnp.float32(initials.get(p.id, p.default))
+                kind = getattr(p, "smoothing", None)
+                if kind == "exponential":
+                    s[p.id] = smoothing.exp_smoother_init(v)
+                elif kind == "linear":
+                    s[p.id] = smoothing.lin_smoother_init(
+                        v, step=getattr(p, "smoothing_arg", None) or 0.01,
+                        sample_rate=self.ctx.sample_rate,
+                    )
+                elif kind == "spring":
+                    s[p.id] = smoothing.spring_smoother_init(v)
+                else:
+                    s[p.id] = v  # stepped: carry the current target
+            smoothers[path] = s
+        return {"nodes": node_states, "smoothers": smoothers}
+
+    def block_inputs(self, block_index: int):
+        """Host-side lowering of one block's events (NumPy pytree)."""
+        n = self.ctx.block_frames
+        start = block_index * n
+        params = {}
+        for path, node in self.nodes.items():
+            d = {}
+            for p in node.PARAMS:
+                t, v = self.timelines[(path, p.id)].lower_block(start, n, self.ctx.max_events)
+                d[p.id] = (t, v)
+            params[path] = d
+        stops = {
+            path: (np.int32(min(self.stop_frames[path], NEVER)), np.int32(min(self.kill_frames[path], NEVER)))
+            for path in self.source_paths
+        }
+        return {"frame0": np.int32(start), "params": params, "stops": stops}
+
+    def stacked_inputs(self, num_blocks: int):
+        """All blocks' inputs stacked along a leading axis (for lax.scan)."""
+        blocks = [self.block_inputs(b) for b in range(num_blocks)]
+        return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+
+    # ------------------------------------------------------------------
+    # the compiled step
+    # ------------------------------------------------------------------
+
+    def _apply_params(self, smoother_state, inputs_params, path, node):
+        n = self.ctx.block_frames
+        new_sm = {}
+        values = {}
+        for p in node.PARAMS:
+            t, v = inputs_params[path][p.id]
+            ev = smoothing.SegmentEvents(jnp.asarray(t), jnp.asarray(v))
+            st = smoother_state[path][p.id]
+            kind = getattr(p, "smoothing", None)
+            if kind == "exponential":
+                inertia = getattr(p, "smoothing_arg", None) or DEFAULT_INERTIA
+                alpha = smoothing.exp_alpha(inertia, self.ctx.sample_rate)
+                new_st, vals = smoothing.exp_smoother_block(st, ev, n, alpha)
+            elif kind == "linear":
+                new_st, vals = smoothing.lin_smoother_block(st, ev, n)
+            elif kind == "spring":
+                omega = smoothing.spring_omega(getattr(p, "smoothing_arg", None) or 4410.0)
+                new_st, vals = smoothing.spring_smoother_block(
+                    st, ev, n, omega, self.ctx.sample_rate
+                )
+            else:
+                new_st, vals = _step_targets(st, ev, n)
+            new_sm[p.id] = new_st
+            values[p.id] = vals
+        return new_sm, values
+
+    def _step(self, state, inputs):
+        """Pure block renderer: (state, inputs) -> (state, audio[ch, n])."""
+        frame0 = jnp.asarray(inputs["frame0"])
+        new_nodes = {}
+        new_smoothers = {}
+
+        def render_mixer(m: Mixer, prefix: str):
+            acc = jnp.zeros((self.ctx.channels, self.ctx.block_frames), self.config.dtype)
+            me = f"{prefix}{m.name}"
+            for child in m.children:
+                acc = acc + render_mixer(child, f"{me}/")
+            for s in m.sources:
+                path = f"{me}/{s.name}"
+                new_sm, values = self._apply_params(
+                    state["smoothers"], inputs["params"], path, s
+                )
+                values["_frame0"] = frame0
+                stop, kill = inputs["stops"][path]
+                values["_stop_at"] = jnp.asarray(stop)
+                values["_kill_at"] = jnp.asarray(kill)
+                ns, y = s.process(state["nodes"][path], None, values, self.ctx)
+                new_nodes[path] = ns
+                new_smoothers[path] = new_sm
+                acc = acc + y
+            for e in m.effects:
+                path = f"{me}/{e.name}"
+                new_sm, values = self._apply_params(
+                    state["smoothers"], inputs["params"], path, e
+                )
+                values["_frame0"] = frame0
+                ns, acc = e.process(state["nodes"][path], acc, values, self.ctx)
+                new_nodes[path] = ns
+                new_smoothers[path] = new_sm
+            return acc
+
+        audio = render_mixer(self.root, "")
+        return {"nodes": new_nodes, "smoothers": new_smoothers}, audio
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+
+    def render(
+        self,
+        duration_frames: Optional[int] = None,
+        mode: str = "scan",
+        state=None,
+    ) -> np.ndarray:
+        """Offline render to a planar float32 array [channels, frames].
+
+        mode="scan" uploads all block inputs at once and runs one
+        ``lax.scan`` on device (fastest); mode="loop" dispatches block by
+        block from the host (streaming-shaped path)."""
+        if duration_frames is None:
+            duration_frames = self.natural_duration_frames()
+            if duration_frames is None:
+                raise ValueError(
+                    "graph has endless sources; pass an explicit duration"
+                )
+        n = self.ctx.block_frames
+        num_blocks = max((duration_frames + n - 1) // n, 1)
+        state = state if state is not None else self.init_state()
+
+        if mode == "scan":
+            stacked = self.stacked_inputs(num_blocks)
+            audio = _scan_render(self._step, state, stacked)
+        elif mode == "loop":
+            chunks = []
+            for b in range(num_blocks):
+                state, y = self._jit_step(state, self.block_inputs(b))
+                chunks.append(np.asarray(y))
+            audio = np.concatenate(chunks, axis=-1)
+        else:
+            raise ValueError(f"unknown render mode {mode!r}")
+        return np.asarray(audio)[:, :duration_frames]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _scan_render(step_fn, state, stacked_inputs):
+    def body(carry, xs):
+        carry, y = step_fn(carry, xs)
+        return carry, y
+
+    _, blocks = jax.lax.scan(body, state, stacked_inputs)
+    # [num_blocks, ch, n] -> [ch, num_blocks * n]
+    return jnp.moveaxis(blocks, 0, 1).reshape(blocks.shape[1], -1)

@@ -1,0 +1,87 @@
+"""Render-graph node protocol.
+
+The reference is a pull-model interpreter: `Source::write` / `Effect::process`
+virtual calls per block (src/source.rs:80-110, src/effect.rs:86-215).  The
+TPU engine inverts this: every node is a *compiler object* — static Python
+config plus two pure functions over pytrees — and the graph engine traces all
+of them into ONE jitted block-render program (see graph/engine.py).
+
+Node contract:
+  * ``PARAMS``: tuple of parameter descriptors (params.py).  The engine owns
+    one timeline + on-device smoother per (node, param) and hands ``process``
+    a dict of *denormalized, smoothed, per-sample* value arrays [n] — the
+    engine-level analog of the reference's SmoothedParameterValue
+    (src/parameter/smoothed.rs).
+  * ``init_state(ctx)``: returns the node's state pytree (may be {}).
+  * ``process(state, x, params, ctx)``: pure; x is planar [channels, n]
+    audio (None for sources); returns (new_state, y).
+
+Nodes must be vmap-safe: no Python control flow on traced values.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple, Optional
+
+from ..params import Parameter
+
+
+class BuildCtx(NamedTuple):
+    sample_rate: int
+    channels: int
+    block_frames: int
+    max_events: int
+
+
+_counter = itertools.count()
+
+
+class Node:
+    PARAMS: tuple[Parameter, ...] = ()
+    # relative CPU cost hint 1..10 (reference: src/source.rs:100-103) — kept
+    # for API parity / scheduling heuristics in the realtime bridge
+    WEIGHT: int = 1
+
+    def __init__(self, name: Optional[str] = None):
+        self.name = name or f"{type(self).__name__.lower()}_{next(_counter)}"
+
+    def param(self, pid: str) -> Parameter:
+        for p in self.PARAMS:
+            if p.id == pid:
+                return p
+        raise KeyError(f"{self.name}: unknown parameter {pid!r}")
+
+    def param_initials(self) -> dict:
+        """Initial raw values per parameter; override to reflect constructor
+        options."""
+        return {p.id: p.default for p in self.PARAMS}
+
+    def init_state(self, ctx: BuildCtx):
+        return {}
+
+    def process(self, state, x, params, ctx: BuildCtx):
+        raise NotImplementedError
+
+    # --- non-audio control messages (reference: Effect::process_message) ---
+    def handle_message(self, message) -> None:
+        """Host-side message hook (e.g. reverb Reset).  Default: ignore."""
+        return None
+
+
+class Effect(Node):
+    """Audio in -> audio out.  ``tail_frames`` advertises ring-out length for
+    auto-bypass pruning (reference: src/effect.rs:190-215)."""
+
+    def tail_frames(self, ctx: BuildCtx) -> int:
+        return 0
+
+
+class Source(Node):
+    """Produces audio; x is None.  ``duration_frames`` returns the total
+    frames the source will produce at the *output* rate, or None if unbounded
+    (looped / generator) — used for offline render length and compile-time
+    activity pruning."""
+
+    def duration_frames(self, ctx: BuildCtx) -> Optional[int]:
+        return None

@@ -1,0 +1,253 @@
+"""Preloaded file playback source.
+
+Behavioural spec: reference src/source/file.rs (FilePlaybackOptions :34-93),
+src/source/file/preloaded.rs (loop/repeat/seek/stop semantics) and the
+wrapper chain the player builds per played file —
+Converted -> Amplified -> Panned (src/player.rs:540-559) — which is fused
+here into one node: resample+remap, smoothed volume, smoothed constant-power
+pan, fade-in/out.
+
+TPU formulation: playback is *positional*.  The source carries its frame
+position as an exact (int32 base, float32 frac) pair; a block computes
+per-sample read positions analytically (cumsum of speed * rate_ratio), folds
+them through the loop/repeat map with integer arithmetic, and gathers with
+Hermite (default) or polyphase-sinc (high quality) interpolation — speed
+ramps, loops and EOF are all vectorised gathers, zero per-sample control
+flow.  For endless loops the carried position is re-folded every block so it
+stays bounded (no precision decay over arbitrarily long renders).
+
+Stop/kill arrive as per-block scalar inputs (global frame indices): the
+fade-out gain is an analytic exponential starting at the stop frame
+(reference de-clicks stops with a 50 ms VolumeFader, src/source/file.rs:106,
+src/utils/fader.rs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..graph.nodes import BuildCtx, Source
+from ..io.decoder import AudioFileBuffer
+from ..ops import resample as rs
+from ..ops.buffer import remap_channels
+from ..ops.convert import panning_factors
+from ..ops.precision import ds_add
+from ..params import DecibelScaling, FloatParameter, format_gain, format_pan
+
+# int32-safe sentinel: single renders are limited to 2^31-1 frames (~12.4 h
+# at 48 kHz) so the engine works without jax_enable_x64
+NEVER = np.iinfo(np.int32).max
+
+
+def _host_fade_log1m(duration_secs: float, sample_rate: int) -> float:
+    """log(1 - inertia) of the de-click fader, as a static Python float
+    (must not be staged: it parameterises analytic fade curves under jit)."""
+    import math
+
+    samples = sample_rate * duration_secs / math.log(100.0)
+    return math.log1p(-(1.0 - math.exp(-1.0 / max(samples, 1e-9))))
+
+VOLUME = FloatParameter(
+    "VOLU", "Volume", 0.0, 4.0, 1.0, scaling=DecibelScaling(-60.0, 12.0),
+    formatter=format_gain,
+)
+PANNING = FloatParameter("PANN", "Panning", -1.0, 1.0, 0.0, formatter=format_pan)
+SPEED = FloatParameter("SPED", "Speed", 0.001, 16.0, 1.0, smoothing=None)
+
+
+@dataclasses.dataclass
+class FilePlaybackOptions:
+    """reference: src/source/file.rs:34-93."""
+
+    volume: float = 1.0
+    panning: float = 0.0
+    speed: float = 1.0
+    repeat: Optional[int] = 0  # extra passes; None = forever
+    loop_range: Optional[tuple[int, int]] = None  # overrides buffer's
+    start_time: int = 0  # absolute output frame
+    fade_in_secs: float = 0.0
+    fade_out_secs: float = 0.05  # de-click stop fade (reference default 50 ms)
+    resampling_quality: str = "default"  # "default" (hermite) | "high" (sinc)
+
+
+class FileSource(Source):
+    PARAMS = (VOLUME, PANNING, SPEED)
+    WEIGHT = 1
+
+    def __init__(
+        self,
+        buffer: AudioFileBuffer,
+        options: Optional[FilePlaybackOptions] = None,
+        name: Optional[str] = None,
+    ):
+        super().__init__(name)
+        self.buffer = buffer
+        self.options = options or FilePlaybackOptions()
+        self.loop_range = self.options.loop_range or buffer.loop_range
+        self.loop_mode = buffer.loop_mode
+        if self.options.resampling_quality not in ("default", "high"):
+            raise ValueError(
+                f"unknown resampling quality {self.options.resampling_quality!r}"
+            )
+
+    def param_initials(self):
+        return {
+            VOLUME.id: self.options.volume,
+            PANNING.id: self.options.panning,
+            SPEED.id: self.options.speed,
+        }
+
+    def _source_span(self) -> Optional[int]:
+        """Total span in linear source frames, or None if endless."""
+        frames = self.buffer.frames
+        rpt = self.options.repeat
+        if rpt is None:
+            return None
+        if self.loop_range is not None:
+            start, end = self.loop_range
+            return frames + rpt * (end - start)
+        return frames * (rpt + 1)
+
+    def duration_frames(self, ctx: BuildCtx) -> Optional[int]:
+        span = self._source_span()
+        if span is None:
+            return None
+        ratio = self.buffer.sample_rate / ctx.sample_rate
+        return self.options.start_time + int(
+            np.ceil(span / (ratio * max(self.options.speed, 1e-6)))
+        )
+
+    def init_state(self, ctx: BuildCtx):
+        # position = base + frac + frac_lo; the (frac, frac_lo) pair is
+        # compensated f32 so block-boundary rounding never accumulates
+        return {
+            "base": jnp.zeros((), jnp.int32),
+            "frac": jnp.zeros((), jnp.float32),
+            "frac_lo": jnp.zeros((), jnp.float32),
+        }
+
+    def _fold(self, ki, fr):
+        """Linear source position (int frames ki + frac fr) -> buffer
+        position + live mask (reference loop semantics:
+        src/source/file/preloaded.rs:270-332)."""
+        frames = self.buffer.frames
+        rpt = self.options.repeat
+        if self.loop_range is not None:
+            start, end = int(self.loop_range[0]), int(self.loop_range[1])
+            length = max(end - start, 1)
+            rel = ki - start
+            if self.loop_mode == "pingpong":
+                c = jnp.mod(rel, 2 * length)
+                fwd = c < length
+                fki = jnp.where(fwd, start + c, start + 2 * length - c - 1)
+                ffr = jnp.where(fwd, fr, 1.0 - fr)
+            else:
+                fki = start + jnp.mod(rel, length)
+                ffr = fr
+            in_loop = ki >= start
+            if rpt is None:
+                live = jnp.ones_like(ki, bool)
+            else:
+                span = start + (rpt + 1) * length
+                after_ki = ki - rpt * length  # continue past loop to file end
+                fki = jnp.where(ki < span, jnp.where(in_loop, fki, ki), after_ki)
+                ffr = jnp.where(ki < span, jnp.where(in_loop, ffr, fr), fr)
+                live = ki < frames + rpt * length
+                return fki, ffr, live
+            return jnp.where(in_loop, fki, ki), jnp.where(in_loop, ffr, fr), live
+        if rpt is None:
+            return jnp.mod(ki, frames), fr, jnp.ones_like(ki, bool)
+        if rpt > 0:
+            return jnp.mod(ki, frames), fr, ki < frames * (rpt + 1)
+        return ki, fr, ki < frames
+
+    def _fold_state(self, base):
+        """Keep the carried position bounded for endless playback."""
+        if self.options.repeat is not None:
+            return base
+        frames = self.buffer.frames
+        if self.loop_range is not None:
+            start, end = int(self.loop_range[0]), int(self.loop_range[1])
+            length = max(end - start, 1)
+            period = 2 * length if self.loop_mode == "pingpong" else length
+            return jnp.where(base >= start, start + jnp.mod(base - start, period), base)
+        return jnp.mod(base, frames)
+
+    def process(self, state, x, params, ctx: BuildCtx):
+        n = ctx.block_frames
+        frame0 = params["_frame0"]  # i32/i64 scalar: global frame of block start
+        stop_at = params.get("_stop_at", jnp.int32(NEVER))
+        kill_at = params.get("_kill_at", jnp.int32(NEVER))
+        gframes = frame0 + jnp.arange(n, dtype=frame0.dtype)
+
+        ratio = self.buffer.sample_rate / ctx.sample_rate
+        speed = params[SPEED.id]  # [n]
+        active = (gframes >= self.options.start_time) & (gframes < kill_at)
+
+        steps = jnp.where(active, speed * np.float32(ratio), 0.0).astype(jnp.float32)
+        # Positions as affine base + residual cumsum: exact (ulp-level) for
+        # constant speed, and the residual is tiny during glides — a plain
+        # f32 cumsum would drift by ~1e-2 frames across a block.
+        s0 = steps[-1]
+        resid = jnp.cumsum(steps - s0)
+        rel = s0 * jnp.arange(n, dtype=jnp.float32) + jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), resid[:-1]]
+        )
+        # fractional offset from base; frac_lo folds the compensated
+        # sub-ulp remainder back in
+        p = state["frac"] + (rel + state["frac_lo"])
+        ip = jnp.floor(p)
+        fr = p - ip
+        ki = state["base"] + ip.astype(jnp.int32)
+
+        fki, ffr, live = self._fold(ki, fr)
+        mask = (active & live).astype(jnp.float32)
+
+        buf = jnp.asarray(self.buffer.data)  # [ch, frames+1] (guard frame)
+        pos = fki.astype(jnp.float32) + ffr
+        if self.options.resampling_quality == "high":
+            table = rs.sinc_table(
+                cutoff=min(1.0, 1.0 / max(ratio * self.options.speed, 1.0))
+            )
+            audio = rs.sinc_read(buf, pos, table)
+        else:
+            audio = rs.hermite_read(buf, pos)
+        audio = audio * mask[None, :]
+        audio = remap_channels(audio, ctx.channels)
+
+        # volume + pan (reference wrapper chain Amplified -> Panned)
+        gain = params[VOLUME.id] * self._fade_gains(gframes, stop_at, kill_at, ctx)
+        audio = audio * gain[None, :]
+        if ctx.channels >= 2:
+            left, right = panning_factors(params[PANNING.id])
+            audio = audio.at[0].multiply(left).at[1].multiply(right)
+
+        advance = s0 * np.float32(n) + resid[-1]
+        total, lo = ds_add(state["frac"], state["frac_lo"], advance)
+        carry = jnp.floor(total)
+        new_base = self._fold_state(state["base"] + carry.astype(jnp.int32))
+        # subtracting the integer part is exact, so lo carries over unchanged
+        return {"base": new_base, "frac": total - carry, "frac_lo": lo}, audio
+
+    def _fade_gains(self, gframes, stop_at, kill_at, ctx: BuildCtx):
+        """Analytic fade-in from start_time and fade-out from stop_at
+        (exponential fader semantics, src/utils/fader.rs:76-121)."""
+        sr = ctx.sample_rate
+        gain = jnp.ones(gframes.shape, jnp.float32)
+        if self.options.fade_in_secs > 0.0:
+            k = (gframes - self.options.start_time + 1).astype(jnp.float32)
+            log1m = _host_fade_log1m(self.options.fade_in_secs, sr)
+            up = 1.0 - jnp.exp(log1m * jnp.maximum(k, 0.0))
+            gain = gain * jnp.where(k > 0, jnp.where(up > 1.0 - 1e-4, 1.0, up), 0.0)
+        if self.options.fade_out_secs > 0.0:
+            k = (gframes - stop_at + 1).astype(jnp.float32)
+            log1m = _host_fade_log1m(self.options.fade_out_secs, sr)
+            down = jnp.exp(log1m * jnp.maximum(k, 0.0))
+            gain = gain * jnp.where(k > 0, jnp.where(down < 1e-4, 0.0, down), 1.0)
+        else:
+            gain = gain * (gframes < stop_at)
+        return gain
