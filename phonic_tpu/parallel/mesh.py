@@ -1,0 +1,101 @@
+"""Multi-chip scaling: batch independent render lanes over a device mesh.
+
+The reference's only parallelism is an intra-process RT thread pool over
+sub-mixers (src/source/mixed/submixer/thread_pool.rs) — there is no
+distributed layer to port.  The TPU-native scaling story is instead:
+
+  * one chip renders one graph absurdly faster than real time (XLA fuses the
+    whole tree, see graph/engine.py);
+  * throughput scales by *batching independent render lanes* — copies of a
+    graph with different inputs/automation (stems, variations, preview
+    renders) — with ``vmap``, then sharding the lane axis across a
+    ``jax.sharding.Mesh`` so each chip renders its shard.  Lanes are
+    independent, so collectives only appear if a final mixdown across lanes
+    is requested (a psum over the lane axis riding the ICI).
+
+`BatchedRenderProgram` wraps a compiled RenderProgram: states and block
+inputs gain a leading ``lanes`` axis, placed on the mesh's "data" axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph.engine import RenderProgram
+
+
+def data_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.array(devs), (axis,))
+
+
+class BatchedRenderProgram:
+    """vmap + shard a RenderProgram over independent lanes."""
+
+    def __init__(self, program: RenderProgram, lanes: int, mesh: Optional[Mesh] = None,
+                 mixdown: bool = False):
+        self.program = program
+        self.lanes = lanes
+        self.mesh = mesh
+        self.mixdown = mixdown
+        vstep = jax.vmap(program._step)
+
+        if mixdown:
+            def step(states, inputs):
+                states, audio = vstep(states, inputs)
+                # cross-lane mixdown: one all-reduce over the lane axis
+                return states, jnp.sum(audio, axis=0, keepdims=True)
+        else:
+            step = vstep
+
+        if mesh is not None:
+            lane_sharding = NamedSharding(mesh, P("data"))
+            replicated = NamedSharding(mesh, P())
+            self._lane_sharding = lane_sharding
+            self.step = jax.jit(
+                step,
+                in_shardings=(lane_sharding, lane_sharding),
+                out_shardings=(
+                    lane_sharding,
+                    replicated if mixdown else lane_sharding,
+                ),
+            )
+        else:
+            self._lane_sharding = None
+            self.step = jax.jit(step)
+
+    def _stack(self, trees):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+    def init_states(self):
+        states = self._stack([self.program.init_state() for _ in range(self.lanes)])
+        if self._lane_sharding is not None:
+            states = jax.device_put(states, self._lane_sharding)
+        return states
+
+    def block_inputs(self, block_index: int):
+        """Identical automation on every lane (callers can build per-lane
+        inputs themselves for divergent automation)."""
+        one = self.program.block_inputs(block_index)
+        tiled = jax.tree.map(
+            lambda x: np.broadcast_to(np.asarray(x), (self.lanes,) + np.shape(x)), one
+        )
+        if self._lane_sharding is not None:
+            tiled = jax.device_put(tiled, self._lane_sharding)
+        return tiled
+
+    def render(self, duration_frames: int):
+        n = self.program.ctx.block_frames
+        num_blocks = max((duration_frames + n - 1) // n, 1)
+        states = self.init_states()
+        outs = []
+        for b in range(num_blocks):
+            states, audio = self.step(states, self.block_inputs(b))
+            outs.append(audio)
+        audio = jnp.concatenate(outs, axis=-1)[..., :duration_frames]
+        return np.asarray(audio)
