@@ -1,0 +1,97 @@
+"""Stereo noise gate with hold and configurable floor.
+
+Behavioural spec: reference src/effect/gate.rs — per-frame stereo peak ->
+dB-domain envelope follower -> open/hold/closed state machine -> one-pole
+dB-domain gain smoothing with attack/release asymmetry (:147-195); gains
+<= -60 dB snap to 0.  Tail: hold + release samples.
+
+The gate's per-sample state (envelope, hold counter, gain dB) is genuinely
+sequential with data-dependent branching, so this runs as ONE fused
+``lax.scan`` carrying all three scalars per lane; detector math
+(peak -> dB) is precomputed vectorised outside the scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.nodes import BuildCtx, Effect
+from ..ops.envelope import follower_coef
+from ..params import FloatParameter, format_db
+
+THRESHOLD = FloatParameter("thrs", "Threshold", -60.0, 0.0, -30.0, unit="dB", smoothing=None)
+ATTACK = FloatParameter("attk", "Attack", 0.001, 0.5, 0.005, unit="s", smoothing=None)
+HOLD = FloatParameter("hold", "Hold", 0.0, 2.0, 0.1, unit="s", smoothing=None)
+RELEASE = FloatParameter("rels", "Release", 0.01, 2.0, 0.2, unit="s", smoothing=None)
+RANGE = FloatParameter("rnge", "Range", -60.0, 0.0, -60.0, formatter=format_db, smoothing=None)
+
+_LN10_20 = 20.0 / 2.302585092994046
+
+
+class GateEffect(Effect):
+    PARAMS = (THRESHOLD, ATTACK, HOLD, RELEASE, RANGE)
+    WEIGHT = 2
+
+    def __init__(self, threshold: float = -30.0, attack: float = 0.005,
+                 hold: float = 0.1, release: float = 0.2, range_db: float = -60.0,
+                 name=None):
+        super().__init__(name)
+        self.threshold = float(threshold)
+        self.attack = float(attack)
+        self.hold = float(hold)
+        self.release = float(release)
+        self.range_db = float(range_db)
+
+    def param_initials(self):
+        return {
+            THRESHOLD.id: self.threshold, ATTACK.id: self.attack,
+            HOLD.id: self.hold, RELEASE.id: self.release, RANGE.id: self.range_db,
+        }
+
+    def init_state(self, ctx: BuildCtx):
+        return {
+            "env": jnp.float32(-120.0),
+            "hold": jnp.float32(0.0),
+            "gain_db": jnp.float32(self.range_db),
+        }
+
+    def tail_frames(self, ctx: BuildCtx) -> int:
+        return int((self.hold + self.release) * ctx.sample_rate) + 1
+
+    def process(self, state, x, params, ctx: BuildCtx):
+        if ctx.channels != 2:
+            raise ValueError("GateEffect only supports stereo I/O")
+        sr = ctx.sample_rate
+        threshold = params[THRESHOLD.id]
+        range_db = params[RANGE.id]
+        attack_c = follower_coef(params[ATTACK.id], sr)
+        release_c = follower_coef(params[RELEASE.id], sr)
+        hold_samples = jnp.floor(params[HOLD.id] * sr)
+
+        peak = jnp.maximum(jnp.abs(x[0]), jnp.abs(x[1]))
+        input_db = jnp.where(peak > 1e-6, _LN10_20 * jnp.log(jnp.maximum(peak, 1e-7)), -120.0)
+
+        def step(carry, xs):
+            env, hold, gain_db = carry
+            in_db, thr, rng, ac, rc, hs = xs
+            c = jnp.where(in_db > env, ac, rc)
+            env = in_db + c * (env - in_db)
+            is_open = env >= thr
+            target = jnp.where(is_open | (hold > 0), 0.0, rng)
+            hold = jnp.where(is_open, hs, jnp.maximum(hold - 1.0, 0.0))
+            c2 = jnp.where(target > gain_db, ac, rc)
+            gain_db = c2 * gain_db + (1.0 - c2) * target
+            return (env, hold, gain_db), gain_db
+
+        xs = tuple(
+            jnp.broadcast_to(v, input_db.shape)
+            for v in (input_db, threshold, range_db, attack_c, release_c, hold_samples)
+        )
+        (env, hold, gain_db), gains_db = jax.lax.scan(
+            step, (state["env"], state["hold"], state["gain_db"]), xs, unroll=16
+        )
+        gain = jnp.where(gains_db <= -60.0, 0.0, jnp.exp(gains_db / _LN10_20))
+        gain = jnp.where(gains_db == 0.0, 1.0, gain)  # exact unity when open
+        y = x * gain[None, :]
+        return {"env": env, "hold": hold, "gain_db": gain_db}, y

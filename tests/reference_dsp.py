@@ -349,3 +349,138 @@ class Fader:
         if abs(self.current - self.target) < 0.0001:
             self.state = "finished"
         return out
+
+
+# ---------------------------------------------------------------------------
+# Distortion waveshapers (src/effect/distortion.rs:124-188)
+# ---------------------------------------------------------------------------
+
+MAX_DRIVE = 4.0
+
+
+def shaper_soft_clip(x, drive):
+    t = drive / MAX_DRIVE
+    gain = 1.0 + t * t * 14.0
+    xg = x * gain
+    if xg >= 1.0:
+        return 1.0
+    if xg > -1.0:
+        return x if gain <= 1.0 else 1.5 * (xg - xg**3 / 3.0)
+    return -1.0
+
+
+def shaper_hard_clip(x, drive):
+    t = drive / MAX_DRIVE
+    gain = 1.0 + t * t * 24.0
+    thr = 1.0 / gain
+    return min(max(x, -thr), thr) * gain
+
+
+def shaper_diode(x, drive):
+    t = drive / MAX_DRIVE
+    curve = 0.6 * t * t + 0.4 * t
+    gain = 1.0 + curve * 19.0
+    d = math.exp((0.1 * x) / (0.0253 * 1.68)) - 1.0
+    return 2.0 / math.pi * math.atan(d * gain)
+
+
+def shaper_fuzz(x, drive):
+    t = drive / MAX_DRIVE
+    gain = 1.0 + (1.0 - math.exp(-3.0 * t)) * 29.0
+    amp = x * gain
+    sat = -(1.0 - math.exp(-abs(amp))) if amp < 0 else (1.0 - math.exp(-abs(amp)))
+    return 1.5 * (sat + abs(sat))
+
+
+def shaper_fold(x, drive):
+    t = drive / MAX_DRIVE
+    gain = 1.0 + t * t * 3.0
+    xg = x * gain
+    thr = 1.0 / gain
+    if xg > thr or xg < -thr:
+        return abs(math.fmod(abs(xg - thr), thr * 4.0) - thr * 2.0) - thr
+    return xg
+
+
+SHAPERS = {
+    "SoftClip": shaper_soft_clip, "HardClip": shaper_hard_clip,
+    "Diode": shaper_diode, "Fuzz": shaper_fuzz, "Fold": shaper_fold,
+}
+
+
+# ---------------------------------------------------------------------------
+# Gate (src/effect/gate.rs:147-195)
+# ---------------------------------------------------------------------------
+
+
+def gate_gains(stereo, sr, threshold, attack, hold, release, range_db):
+    """Per-frame gain factors the reference gate would apply."""
+    env = -120.0
+    hold_counter = 0
+    gain_db = range_db
+    ac = math.exp(-1.0 / (attack * sr))
+    rc = math.exp(-1.0 / (release * sr))
+    hold_samples = int(hold * sr)
+    n = stereo.shape[1]
+    gains = np.empty(n)
+    for i in range(n):
+        peak = max(abs(stereo[0, i]), abs(stereo[1, i]))
+        in_db = 20.0 * math.log10(peak) if peak > 1e-6 else -120.0
+        c = ac if in_db > env else rc
+        env = in_db + c * (env - in_db)
+        if env >= threshold:
+            hold_counter = hold_samples
+            target = 0.0
+        elif hold_counter > 0:
+            hold_counter -= 1
+            target = 0.0
+        else:
+            target = range_db
+        c2 = ac if target > gain_db else rc
+        gain_db = c2 * gain_db + (1.0 - c2) * target
+        gains[i] = 0.0 if gain_db <= -60.0 else db_to_linear(gain_db)
+    return gains
+
+
+# ---------------------------------------------------------------------------
+# Compressor (src/effect/compressor.rs + LookupDelayLine, dsp/delay.rs:160-280)
+# ---------------------------------------------------------------------------
+
+
+def compressor(stereo, sr, threshold, ratio, knee, attack, release, makeup, lookahead):
+    n = stereo.shape[1]
+    d = int(math.ceil(lookahead * sr))
+    buf = np.zeros((max(d, 1), 2))
+    env = -120.0 if ratio >= 20.0 else 0.0
+    ac = math.exp(-1.0 / (attack * sr))
+    rc = math.exp(-1.0 / (release * sr))
+    out = np.empty_like(stereo)
+    hist = np.zeros(n + d)  # |peak| history for the sliding window
+    for i in range(n):
+        frame = stereo[:, i]
+        if d > 0:
+            delayed = buf[i % d].copy()
+            buf[i % d] = frame
+        else:
+            delayed = frame
+        fp = max(abs(frame[0]), abs(frame[1]))
+        hist[i + d] = fp
+        if ratio >= 20.0:
+            peak = hist[i + 1 : i + d + 1].max() if d > 0 else fp
+        else:
+            peak = fp
+        in_db = 20.0 * math.log10(peak) if peak > 1e-6 else -120.0
+        c = ac if in_db > env else rc
+        env = in_db + c * (env - in_db)
+        slope = 1.0 if ratio >= 20.0 else 1.0 - 1.0 / ratio
+        lower, upper = threshold - knee / 2, threshold + knee / 2
+        if knee > 0.0 and lower < env < upper:
+            xk = (env - lower) / knee
+            gr = xk * xk * slope * knee / 2.0
+        elif env > upper:
+            gr = (env - threshold) * slope
+        else:
+            gr = 0.0
+        gain = db_to_linear(makeup - gr)
+        out[:, i] = delayed * gain
+    return out
