@@ -484,3 +484,136 @@ def compressor(stereo, sr, threshold, ratio, knee, attack, release, makeup, look
         gain = db_to_linear(makeup - gr)
         out[:, i] = delayed * gain
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dub delay (src/effect/delay.rs) — per-sample oracle, f64 state
+# ---------------------------------------------------------------------------
+
+
+class InterpDelayLine:
+    """src/utils/dsp/delay.rs:79-160 (single channel)."""
+
+    def __init__(self, max_size):
+        size = 1
+        while size < max_size:
+            size *= 2
+        self.buf = np.zeros(size)
+        self.mask = size - 1
+        self.wpos = 0
+
+    def process(self, x, feedback, delay):
+        rp = self.wpos - delay
+        ip = math.floor(rp)
+        frac = rp - ip
+        v1 = self.buf[ip & self.mask]
+        v2 = self.buf[(ip + 1) & self.mask]
+        out = v1 + (v2 - v1) * frac
+        self.buf[self.wpos & self.mask] = x + out * feedback
+        self.wpos += 1
+        return out
+
+
+class SvfState:
+    def __init__(self):
+        self.ic1 = 0.0
+        self.ic2 = 0.0
+
+    def run(self, x, g, k):
+        a1 = 1.0 / (1.0 + g * (g + k))
+        a2 = g * a1
+        a3 = g * a2
+        v3 = x - self.ic2
+        v1 = a1 * self.ic1 + a2 * v3
+        v2 = self.ic2 + a2 * self.ic1 + a3 * v3
+        self.ic1 = 2.0 * v1 - self.ic1
+        self.ic2 = 2.0 * v2 - self.ic2
+        return v1, v2
+
+
+def delay_saturate(x, drive):
+    if drive < 0.001:
+        return x
+    gain = 1.0 + drive * 4.0
+    xg = x * gain
+    x2 = xg * xg
+    return xg * (27.0 + x2) / (27.0 + 9.0 * x2) / math.sqrt(gain)
+
+
+def dub_delay(stereo, sr, mode, delay_ms, feedback, ftype, cutoff_hz, drive,
+              wet, width, lfo_rate=1.0, lfo_depth_time=0.0, lfo_depth_fb=0.0,
+              lfo_depth_filter=0.0, min_delay_samples=0):
+    """Port of DelayEffect::process with the engine's deterministic sine LFO
+    (phase 0) and the engine's minimum-delay clamp."""
+    n = stereo.shape[1]
+    max_samples = int(math.ceil((4000.0 + 50.0) * sr / 1000.0)) + 4
+    dl = InterpDelayLine(max_samples)
+    dr = InterpDelayLine(max_samples)
+    svf_l, svf_r = SvfState(), SvfState()
+    dc_rc = 1.0 - 2.0 * math.pi * 5.0 / sr
+    dcl = {"y1": 0.0, "x1": 0.0}
+    dcr = {"y1": 0.0, "x1": 0.0}
+    fb_l = fb_r = 0.0
+    k = max(2.0 * (1.0 - 0.302 * 0.97), 0.03)
+    out = np.empty_like(stereo)
+    phase = 0.0
+
+    def dc_run(st, x):
+        st["y1"] = x - st["x1"] + dc_rc * st["y1"]
+        st["x1"] = x
+        return st["y1"]
+
+    def fb_path(svf, dcst, delayed, drv):
+        g = math.tan(math.pi * cut / sr)
+        v1, v2 = svf.run(delayed, g, k)
+        if ftype == "Lowpass":
+            filt = v2
+        elif ftype == "Bandpass":
+            filt = v1
+        else:
+            filt = delayed - k * v1 - v2
+        sat = delay_saturate(filt, drv)
+        clean = dc_run(dcst, sat)
+        return min(max(clean, -4.0), 4.0)
+
+    for i in range(n):
+        p = phase if phase < 0.5 else phase - 1.0
+        lfo = sine_approx(p * 2.0 * math.pi)
+        phase += lfo_rate / sr
+        if phase >= 1.0:
+            phase -= 1.0
+
+        dms = max(delay_ms + lfo * lfo_depth_time * 50.0, 1.0)
+        dsamp = max(dms * 0.001 * sr, min_delay_samples)
+        fb = min(max(feedback + lfo * lfo_depth_fb * (1.0 - abs(feedback)), 0.0), 0.999)
+        cut = min(max(cutoff_hz * 2.0 ** (lfo * lfo_depth_filter * 2.0), 20.0), sr / 2.0)
+        drv = drive
+
+        li, ri = float(stereo[0, i]), float(stereo[1, i])
+        if mode == "Stereo":
+            l_in = li + fb_l * fb
+            delayed_l = dl.process(l_in, 0.0, dsamp)
+            fb_l = fb_path(svf_l, dcl, delayed_l, drv)
+            r_in = ri + fb_r * fb
+            delayed_r = dr.process(r_in, 0.0, dsamp)
+            fb_r = fb_path(svf_r, dcr, delayed_r, drv)
+        else:
+            mono = (li + ri) * 0.5
+            l_in = mono + fb_r * fb
+            delayed_l = dl.process(l_in, 0.0, dsamp)
+            new_fb_l = fb_path(svf_l, dcl, delayed_l, drv)
+            r_in = fb_l * fb
+            delayed_r = dr.process(r_in, 0.0, dsamp)
+            fb_r = fb_path(svf_r, dcr, delayed_r, drv)
+            fb_l = new_fb_l
+        wet_l, wet_r = fb_l, fb_r
+
+        dry_gain = min((1.0 - wet) * 2.0, 1.0)
+        wet_gain = min(wet * 2.0, 1.0)
+        ol = li * dry_gain + wet_l * wet_gain
+        orr = ri * dry_gain + wet_r * wet_gain
+        mid = (ol + orr) * 0.5
+        side = (ol - orr) * 0.5
+        out[0, i] = mid + side * width
+        out[1, i] = mid - side * width
+    return out
