@@ -1,0 +1,274 @@
+"""Stereo reverb (Airwindows-style vibrato'd Householder FDN).
+
+Behavioural spec: reference src/effect/reverb.rs — signal path per sample:
+predelay -> lowpass biquad A (Q 1.618) -> *wet -> sin() -> 4 cascaded
+Schroeder allpasses (g=0.5, prime-ish sizes 43/41/37/31 * size) -> 8
+vibrato-modulated feedback delay lines (79..47 * size) cross-coupled in two
+Householder-like 4-groups -> mean -> lowpass B (Q 0.618) -> clamp -> asin()
+-> lowpass C (Q 0.5) -> + dry.  ROOM_SIZE maps to size = room^2*75+25,
+blend/regen/cutoff derive from it (:408-420); two parameters only
+(ROOM_SIZE, WET).
+
+TPU formulation: the three lowpass biquads run as whole-block parallel
+scans; each allpass is its own sub-block feedback scan (w[n] = x[n] -
+0.5*w[n-d]); the 8 FDN lines batch into [8, 2, S] arrays processed by one
+sub-block scan (reads are vectorised gathers with per-line modulo periods,
+the cross-line feedback matrix is an elementwise group-sum).
+
+Note on feedback latency: the reference calls step() (count advance +
+vibrato) between set() and get(), so reads always target slots written at
+least period-16 samples ago — the FDN is exactly block-decomposable with
+sub-blocks of min_line_delay - 17 samples.
+
+Deliberate deviations from the reference:
+  * line delays follow room-size automation at block rate, not sample rate
+    (integer delay-size jumps are stepwise in the reference too);
+  * the denormal-guard noise injection (|x| < 1.18e-23, reverb.rs:95-103)
+    is dropped — TPUs flush denormals;
+  * vibrato phases are seeded deterministically (reference: OS random).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..graph.nodes import BuildCtx, Effect
+from ..ops import filters
+from ..ops import ring as ring_ops
+from ..params import FloatParameter, format_percent
+
+ROOM_SIZE = FloatParameter("room", "Room Size", 0.0, 1.0, 0.6,
+                           formatter=format_percent, smoothing="linear")
+WET = FloatParameter("wet ", "Wet", 0.0, 1.0, 0.35, formatter=format_percent)
+
+# FDN line delay factors * size, and per-line vibrato depths (reverb.rs:105-151)
+_LINE_FACTORS = np.array([79.0, 73.0, 71.0, 67.0, 61.0, 59.0, 53.0, 47.0])
+_VIB_DEPTHS = np.array([0.003251, 0.002999, 0.002917, 0.002749,
+                        0.002503, 0.002423, 0.002146, 0.002088])
+_AP_FACTORS = np.array([43.0, 41.0, 37.0, 31.0])
+_PRE_FACTOR = 29.0
+VIB_SPEED = 0.1
+VIB_DEPTH = 7.0
+
+_LINE_BUF = 8192  # max line size 79*100+1 = 7901 -> pow2
+_AP_BUF = 8192    # max allpass size 43*100+1
+_PRE_MAX = 2902   # max predelay 29*100+2
+
+
+class ReverbEffect(Effect):
+    PARAMS = (ROOM_SIZE, WET)
+    WEIGHT = 5
+
+    def __init__(self, room_size: float = 0.6, wet: float = 0.35,
+                 seed: int = 0xA1B2, name=None):
+        super().__init__(name)
+        self.room_size = float(room_size)
+        self.wet = float(wet)
+        self.seed = seed
+
+    def param_initials(self):
+        return {ROOM_SIZE.id: self.room_size, WET.id: self.wet}
+
+    def init_state(self, ctx: BuildCtx):
+        rng = np.random.default_rng(self.seed)
+        vib_phase = rng.uniform(0.0, 2.0 * math.pi, size=(8, 2)).astype(np.float32)
+        return {
+            # the predelay ring must hold a full block plus the max predelay
+            "pre": ring_ops.ring_init(2, _PRE_MAX + ctx.block_frames),
+            "bq_a": filters.tpt_state_init((2,)),
+            "bq_b": filters.tpt_state_init((2,)),
+            "bq_c": filters.tpt_state_init((2,)),
+            "ap_buf": jnp.zeros((4, 2, _AP_BUF), jnp.float32),
+            "ap_pos": jnp.zeros((4,), jnp.int32),
+            "line_buf": jnp.zeros((8, 2, _LINE_BUF), jnp.float32),
+            "line_count": jnp.ones((8,), jnp.int32),
+            "vib_phase": jnp.asarray(vib_phase),
+            "fb": jnp.zeros((8, 2), jnp.float32),
+        }
+
+    def tail_frames(self, ctx: BuildCtx) -> int:
+        """reference: reverb.rs:449-467."""
+        size = self.room_size**2 * 75.0 + 25.0
+        max_delay = int(79.0 * size)
+        fb = 1.0 - (1.0 - (0.82 - ((1.0 - self.room_size) * 0.7 + size * 0.002))) ** 4
+        if fb >= 1.0:
+            return int(20 * ctx.sample_rate)
+        if fb <= 0.0:
+            return max_delay
+        return max_delay + int(max_delay * math.log10(0.001) / math.log10(fb))
+
+    def _subblocks(self, ctx: BuildCtx):
+        # smallest size = 25 (room 0): min allpass delay 31*25=775, min line
+        # delay 47*25=1175 with <=15 samples of vibrato margin
+        b_ap = ring_ops.pick_subblock(31 * 25, ctx.block_frames, cap=512)
+        b_fdn = ring_ops.pick_subblock(47 * 25 - 18, ctx.block_frames, cap=1024)
+        return b_ap, b_fdn
+
+    def process(self, state, x, params, ctx: BuildCtx):
+        if ctx.channels != 2:
+            raise ValueError("ReverbEffect only supports stereo I/O")
+        n = ctx.block_frames
+        sr = ctx.sample_rate
+        b_ap, b_fdn = self._subblocks(ctx)
+
+        room = params[ROOM_SIZE.id]  # [n] linear-smoothed
+        wet = params[WET.id]  # [n] exp-smoothed
+        # derived controls (reverb.rs:408-420); sizes at block rate
+        room0 = room[0]
+        size_arr = room * room * 75.0 + 25.0
+        size0 = room0 * room0 * 75.0 + 25.0
+        cutoff = jnp.clip(10000.0 - room * wet * 3000.0, 20.0, sr / 2.0)
+        depth_factor = 1.0 - (1.0 - (0.82 - ((1.0 - room) * 0.7 + size_arr * 0.002))) ** 4
+        blend = 0.955 - size_arr * 0.007
+        regen = depth_factor * 0.5
+
+        line_delay = (jnp.asarray(_LINE_FACTORS, jnp.float32) * size0).astype(jnp.int32)
+        ap_delay = (jnp.asarray(_AP_FACTORS, jnp.float32) * size0).astype(jnp.int32)
+        predelay = (jnp.float32(_PRE_FACTOR) * size0).astype(jnp.int32)
+
+        # ---- predelay (write-then-read integer delay) + biquad A + sin -----
+        pre = ring_ops.ring_write_block(state["pre"], x)
+        # after writing the block, sample i sits at offset n - i from wpos;
+        # read i at delay p: offset = n - i + p
+        offs = (jnp.float32(n) - jnp.arange(n, dtype=jnp.float32)) + predelay.astype(jnp.float32)
+        delayed_in = ring_ops.ring_read_frac(pre, offs)
+
+        coefs_a = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 1.618034)
+        bq_a, filt_a = filters.tpt_process(state["bq_a"], delayed_in, coefs_a, dtype=jnp.float32)
+        drive_in = jnp.sin(filt_a * wet[None, :])
+
+        # ---- 4 cascaded allpasses, each a sub-block feedback scan ----------
+        ap_buf = state["ap_buf"]
+        ap_pos = state["ap_pos"]
+        signal = drive_in
+        new_ap_buf = []
+        new_ap_pos = []
+        for a in range(4):
+            buf = ap_buf[a]
+            period = ap_delay[a] + 1
+            pos0 = ap_pos[a]
+
+            def ap_step(carry, idx):
+                buf_c, = carry
+                t0 = idx * b_ap
+                j = jnp.arange(b_ap, dtype=jnp.int32)
+                wpos = jnp.mod(pos0 + t0 + j, period)
+                rpos = jnp.mod(wpos + 1, period)
+                delayed = jnp.take(buf_c, rpos, axis=-1)  # [2, B]
+                x_j = jax.lax.dynamic_slice(
+                    signal, (jnp.zeros_like(t0), t0), (2, b_ap)
+                )
+                w = x_j - delayed * 0.5
+                out = w * 0.5 + delayed
+                buf_c = buf_c.at[:, wpos].set(w)
+                return (buf_c,), out
+
+            (buf,), outs = jax.lax.scan(
+                ap_step, (buf,), jnp.arange(n // b_ap, dtype=jnp.int32)
+            )
+            signal = jnp.moveaxis(outs, 0, 1).reshape(2, n)
+            new_ap_buf.append(buf)
+            new_ap_pos.append(jnp.mod(pos0 + n, period))
+            if a == 0:
+                ap_i = signal
+            elif a == 1:
+                ap_j = signal
+            elif a == 2:
+                ap_k = signal
+            else:
+                ap_l = signal
+
+        # FDN line inputs (reverb.rs:275-283): a/h <- allpass L, b/g <- K,
+        # c/f <- J, d/e <- I
+        line_in = jnp.stack([ap_l, ap_k, ap_j, ap_i, ap_i, ap_j, ap_k, ap_l])  # [8, 2, n]
+
+        # ---- 8-line vibrato FDN: one sub-block scan over all lines ---------
+        periods = (line_delay + 1)[:, None]  # [8, 1]
+        vib_inc = jnp.asarray(_VIB_DEPTHS * VIB_SPEED, jnp.float32)  # [8]
+        blend_b = blend
+        regen_b = regen
+
+        vib_base = state["vib_phase"]  # vibrato phase at block start
+
+        def fdn_step(carry, idx):
+            buf, count0, fb = carry  # [8,2,S], [8], [8,2]
+            t0 = idx * b_fdn
+            j = jnp.arange(b_fdn, dtype=jnp.int32)
+            counts = jnp.mod(count0[:, None] + j[None, :], periods)  # [8, B]
+            vib = vib_base[:, :, None] + vib_inc[:, None, None] * (
+                jnp.float32(t0) + j[None, None, :].astype(jnp.float32)
+            )  # [8, 2, B] -- absolute phase offset from the block start
+
+            # reads happen after step(): position = count+1, vibrato phase
+            # advanced once more (reverb.rs:284-301, 554-586).  Keep the
+            # integer part in int32 and the fraction from the small offset
+            # alone — f32 `count + offset` at ~8000 only keeps ~2^-10 of
+            # fractional resolution, which audibly corrupts the vibrato.
+            offset = (jnp.sin(vib + vib_inc[:, None, None]) + 1.0) * VIB_DEPTH
+            off_floor = jnp.floor(offset)
+            w_frac = offset - off_floor
+            w_int = counts[:, None, :] + 1 + off_floor.astype(jnp.int32)
+            r1 = jnp.mod(w_int, periods[:, :, None])
+            r2 = jnp.mod(w_int + 1, periods[:, :, None])
+            v1 = jnp.take_along_axis(buf, r1, axis=-1)
+            v2 = jnp.take_along_axis(buf, r2, axis=-1)
+            bl = jax.lax.dynamic_slice(blend_b, (t0,), (b_fdn,))[None, None, :]
+            interp = (1.0 - bl) * (v1 * (1.0 - w_frac) + v2 * w_frac) + v1 * bl  # [8,2,B]
+
+            # cross-line feedback (Householder 4-groups), 1-sample lag
+            rg = jax.lax.dynamic_slice(regen_b, (t0,), (b_fdn,))[None, None, :]
+            g1 = jnp.sum(interp[:4], axis=0, keepdims=True)
+            g2 = jnp.sum(interp[4:], axis=0, keepdims=True)
+            gsum = jnp.concatenate([jnp.broadcast_to(g1, (4,) + g1.shape[1:]),
+                                    jnp.broadcast_to(g2, (4,) + g2.shape[1:])])
+            fb_now = (2.0 * interp - gsum) * rg  # [8, 2, B]
+            fb_prev = jnp.concatenate([fb[:, :, None], fb_now[:, :, :-1]], axis=-1)
+
+            x_j = jax.lax.dynamic_slice(
+                line_in, (jnp.zeros_like(t0), jnp.zeros_like(t0), t0), (8, 2, b_fdn)
+            )
+            writes = x_j + fb_prev
+            buf = _scatter_lines(buf, counts, writes)
+
+            out = jnp.mean(interp, axis=0)  # [2, B]
+            new_count = jnp.mod(count0 + b_fdn, periods[:, 0])
+            return (buf, new_count, fb_now[:, :, -1]), out
+
+        carry0 = (state["line_buf"], state["line_count"], state["fb"])
+        (line_buf, line_count, fb), outs = jax.lax.scan(
+            fdn_step, carry0, jnp.arange(n // b_fdn, dtype=jnp.int32)
+        )
+        wet_sig = jnp.moveaxis(outs, 0, 1).reshape(2, n)
+        # vibrato phase advances by inc per sample across the whole block
+        vib_phase = state["vib_phase"] + jnp.asarray(_VIB_DEPTHS * VIB_SPEED, jnp.float32)[:, None] * n
+
+        # ---- output chain: biquad B -> clamp -> asin -> biquad C -> + dry --
+        coefs_b = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 0.618034)
+        bq_b, filt_b = filters.tpt_process(state["bq_b"], wet_sig, coefs_b, dtype=jnp.float32)
+        shaped = jnp.arcsin(jnp.clip(filt_b, -1.0, 1.0))
+        coefs_c = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 0.5)
+        bq_c, filt_c = filters.tpt_process(state["bq_c"], shaped, coefs_c, dtype=jnp.float32)
+        y = filt_c + x * (1.0 - wet)[None, :]
+
+        new_state = {
+            "pre": pre, "bq_a": bq_a, "bq_b": bq_b, "bq_c": bq_c,
+            "ap_buf": jnp.stack(new_ap_buf), "ap_pos": jnp.stack(new_ap_pos),
+            "line_buf": line_buf, "line_count": line_count,
+            "vib_phase": vib_phase, "fb": fb,
+        }
+        return new_state, y
+
+
+def _scatter_lines(buf, counts, writes):
+    """buf[l, ch, counts[l, j]] = writes[l, ch, j] — a 1-D scatter vmapped
+    over (line, channel)."""
+    idx = jnp.broadcast_to(counts[:, None, :], writes.shape)
+
+    def put(b, i, w):
+        return b.at[i].set(w)
+
+    return jax.vmap(jax.vmap(put))(buf, idx, writes)

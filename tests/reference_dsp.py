@@ -617,3 +617,197 @@ def dub_delay(stereo, sr, mode, delay_ms, feedback, ftype, cutoff_hz, drive,
         out[0, i] = mid + side * width
         out[1, i] = mid - side * width
     return out
+
+
+# ---------------------------------------------------------------------------
+# Chorus (src/effect/chorus.rs) — per-sample oracle
+# ---------------------------------------------------------------------------
+
+
+def chorus(stereo, sr, rate, phase, depth, feedback, delay_ms, wet,
+           cutoff_hz, resonance, min_pos_samples=0.0):
+    n = stereo.shape[1]
+    lfo_range = 256.0 * sr / 44100.0
+    max_size = 2 + int(math.ceil(100.0 * sr / 1000.0)) + 2 * int(math.ceil(lfo_range)) + 1
+    dl = InterpDelayLine(max_size)
+    dr = InterpDelayLine(max_size)
+    svf_l, svf_r = SvfState(), SvfState()
+    k = max(2.0 * (1.0 - resonance * 0.97), 0.03)
+    g = math.tan(math.pi * min(max(cutoff_hz, 20.0), sr / 2.0) / sr)
+    out = np.empty_like(stereo)
+    ph_l = 0.0
+    ph_r = (phase / (2.0 * math.pi)) % 1.0
+    fb = min(max(feedback, -0.999), 0.999)
+    for i in range(n):
+        li, ri = float(stereo[0, i]), float(stereo[1, i])
+        # input filter (lowpass)
+        v1l, v2l = svf_l.run(li, g, k)
+        v1r, v2r = svf_r.run(ri, g, k)
+        fl, fr = v2l, v2r
+        # sine LFOs (value before advance)
+        def lfo_val(ph):
+            p = ph * 2 * math.pi if ph < 0.5 else (ph - 1.0) * 2 * math.pi
+            return sine_approx(p)
+        lv, rv = lfo_val(ph_l), lfo_val(ph_r)
+        ph_l = (ph_l + rate / sr) % 1.0
+        ph_r = (ph_r + rate / sr) % 1.0
+
+        dsamp = delay_ms * sr * 0.001
+        depth_s = lfo_range * depth
+        pos_l = max(2.0 + dsamp + (1.0 + lv) * depth_s, min_pos_samples)
+        pos_r = max(2.0 + dsamp + (1.0 + rv) * depth_s, min_pos_samples)
+
+        wl = dl.process(fl, fb, pos_l)
+        wr = dr.process(fr, fb, pos_r)
+        out[0, i] = li * (1.0 - wet) + wl * wet
+        out[1, i] = ri * (1.0 - wet) + wr * wet
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Reverb (src/effect/reverb.rs) — per-sample oracle, f64, fixed params
+# ---------------------------------------------------------------------------
+
+
+class TptBiquad:
+    def __init__(self, sr, cutoff, q):
+        g = math.tan(math.pi * min(max(cutoff, 20.0), sr / 2.0) / sr)
+        kk = 1.0 / q
+        self.a1 = 1.0 / (1.0 + g * (g + kk))
+        self.a2 = g * self.a1
+        self.a3 = g * self.a2
+        self.ic1 = 0.0
+        self.ic2 = 0.0
+
+    def run(self, x):  # lowpass
+        v3 = x - self.ic2
+        v1 = self.a1 * self.ic1 + self.a2 * v3
+        v2 = self.ic2 + self.a2 * self.ic1 + self.a3 * v3
+        self.ic1 = 2.0 * v1 - self.ic1
+        self.ic2 = 2.0 * v2 - self.ic2
+        return v2
+
+
+class RevLine:
+    def __init__(self, size, depth, delay, phases):
+        self.buf = np.zeros((size + 1, 2))
+        self.count = 1
+        self.delay = delay
+        self.depth = depth
+        self.fb = [0.0, 0.0]
+        self.phase = list(phases)
+
+    def set(self, vals):
+        self.buf[self.count, 0] = vals[0] + self.fb[0]
+        self.buf[self.count, 1] = vals[1] + self.fb[1]
+
+    def step(self, speed):
+        self.count += 1
+        if self.count > self.delay:
+            self.count = 0
+        self.phase[0] += self.depth * speed
+        self.phase[1] += self.depth * speed
+
+    def get(self, vib_depth, blend):
+        out = [0.0, 0.0]
+        for ch in range(2):
+            offset = (math.sin(self.phase[ch]) + 1.0) * vib_depth
+            working = self.count + offset
+            w_floor = math.floor(working)
+            w_frac = working - w_floor
+            r1 = int(w_floor)
+            if r1 > self.delay:
+                r1 -= self.delay + 1
+            r2 = int(w_floor) + 1
+            if r2 > self.delay:
+                r2 -= self.delay + 1
+            v1, v2 = self.buf[r1, ch], self.buf[r2, ch]
+            out[ch] = (1.0 - blend) * (v1 * (1.0 - w_frac) + v2 * w_frac) + v1 * blend
+        return out
+
+
+class RevAllpass:
+    def __init__(self, size, delay):
+        self.buf = np.zeros((size, 2))
+        self.delay = delay
+        self.wpos = 0
+
+    def process(self, vals):
+        rp = self.wpos + 1
+        if rp > self.delay:
+            rp = 0
+        delayed = self.buf[rp].copy()
+        w = [vals[0] - delayed[0] * 0.5, vals[1] - delayed[1] * 0.5]
+        out = [w[0] * 0.5, w[1] * 0.5]
+        self.buf[self.wpos] = w
+        self.wpos += 1
+        if self.wpos > self.delay:
+            self.wpos = 0
+        nd = self.buf[self.wpos]
+        return [out[0] + nd[0], out[1] + nd[1]]
+
+
+def reverb(stereo, sr, room, wet, vib_phases, vib_depth=7.0, line_depth=None):
+    """vib_phases: [8][2] initial vibrato phases (pass the engine's)."""
+    n = stereo.shape[1]
+    size = room * room * 75.0 + 25.0
+    cutoff = 10000.0 - room * wet * 3000.0
+    depth_factor = 1.0 - (1.0 - (0.82 - ((1.0 - room) * 0.7 + size * 0.002))) ** 4
+    blend = 0.955 - size * 0.007
+    regen = depth_factor * 0.5
+
+    factors = [79.0, 73.0, 71.0, 67.0, 61.0, 59.0, 53.0, 47.0]
+    depths = [0.003251, 0.002999, 0.002917, 0.002749, 0.002503, 0.002423, 0.002146, 0.002088]
+    sizes = [8111, 7511, 7311, 6911, 6311, 6111, 5511, 4911]
+    lines = [RevLine(sizes[i], depths[i] if line_depth is None else line_depth,
+                     int(factors[i] * size), vib_phases[i]) for i in range(8)]
+    aps = [RevAllpass(s, int(f * size))
+           for s, f in zip([4511, 4311, 3911, 3311], [43.0, 41.0, 37.0, 31.0])]
+    predelay = int(29.0 * size)
+    prebuf = np.zeros((4096, 2))
+    prepos = 0
+    bq_a = [TptBiquad(sr, cutoff, 1.618034) for _ in range(2)]
+    bq_b = [TptBiquad(sr, cutoff, 0.618034) for _ in range(2)]
+    bq_c = [TptBiquad(sr, cutoff, 0.5) for _ in range(2)]
+    out = np.empty_like(stereo)
+
+    for i in range(n):
+        il, ir = float(stereo[0, i]), float(stereo[1, i])
+        dry_l, dry_r = il, ir
+        # predelay: write then read
+        prebuf[prepos % 4096] = [il, ir]
+        rd = prebuf[(prepos - predelay) % 4096]
+        prepos += 1
+        il, ir = rd[0], rd[1]
+        il, ir = bq_a[0].run(il), bq_a[1].run(ir)
+        il, ir = math.sin(il * wet), math.sin(ir * wet)
+
+        oi = aps[0].process([il, ir])
+        oj = aps[1].process(oi)
+        ok = aps[2].process(oj)
+        ol = aps[3].process(ok)
+
+        ins = [ol, ok, oj, oi, oi, oj, ok, ol]
+        for ln, v in zip(lines, ins):
+            ln.set(v)
+        for ln in lines:
+            ln.step(0.1)
+        interp = [ln.get(vib_depth, blend) for ln in lines]
+
+        fb = []
+        for grp in (interp[:4], interp[4:]):
+            s0 = [sum(v[0] for v in grp), sum(v[1] for v in grp)]
+            for v in grp:
+                fb.append([(2.0 * v[0] - s0[0]) * regen, (2.0 * v[1] - s0[1]) * regen])
+        for ln, f in zip(lines, fb):
+            ln.fb = f
+
+        ml = sum(v[0] for v in interp) / 8.0
+        mr = sum(v[1] for v in interp) / 8.0
+        ml, mr = bq_b[0].run(ml), bq_b[1].run(mr)
+        ml = math.asin(min(max(ml, -1.0), 1.0))
+        mr = math.asin(min(max(mr, -1.0), 1.0))
+        ml, mr = bq_c[0].run(ml), bq_c[1].run(mr)
+        out[0, i] = ml + dry_l * (1.0 - wet)
+        out[1, i] = mr + dry_r * (1.0 - wet)
+    return out
