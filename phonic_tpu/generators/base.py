@@ -1,0 +1,65 @@
+"""Generator protocol: note-event-driven polyphonic sources.
+
+Behavioural spec: reference src/generator.rs — `Generator: Source` with note
+on/off events (:172-226), playback options (:41-78), transient (play_) vs
+fixed (add_) lifecycle.
+
+Host-side note events are scheduled in absolute output frames and lowered
+per block into fixed-shape voice tensors by the generator's allocator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Optional
+
+from ..graph.nodes import Source
+
+_note_ids = itertools.count(1)
+
+
+@dataclasses.dataclass
+class GeneratorPlaybackOptions:
+    """reference: src/generator.rs:41-78."""
+
+    volume: float = 1.0
+    panning: float = 0.0
+    voices: int = 8
+    fade_out_secs: float = 0.05
+
+
+@dataclasses.dataclass
+class NoteEvent:
+    time: int  # absolute output frame
+    kind: str  # "on" | "off" | "all_off"
+    note: int = 60
+    note_id: int = 0
+    volume: float = 1.0
+    panning: float = 0.0
+
+
+class Generator(Source):
+    """Note-event front-end.  Subclasses implement the voice rendering and an
+    allocator lowering in ``lower_block_inputs``."""
+
+    def __init__(self, options: Optional[GeneratorPlaybackOptions] = None, name=None):
+        super().__init__(name)
+        self.options = options or GeneratorPlaybackOptions()
+        self.events: list[NoteEvent] = []
+
+    def note_on(self, note: int, volume: float = 1.0, panning: float = 0.0,
+                time: int = 0) -> int:
+        """Schedule a note-on; returns a note id usable with note_off
+        (reference: GeneratorPlaybackHandle::note_on,
+        src/player/handles/generator.rs:200-240)."""
+        nid = next(_note_ids)
+        self.events.append(NoteEvent(int(time), "on", int(note), nid,
+                                     float(volume), float(panning)))
+        return nid
+
+    def note_off(self, note_id: int, time: int = 0):
+        self.events.append(NoteEvent(int(time), "off", note_id=note_id))
+
+    def all_notes_off(self, time: int = 0):
+        self.events.append(NoteEvent(int(time), "all_off"))

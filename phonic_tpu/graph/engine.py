@@ -190,17 +190,22 @@ class RenderProgram:
         n = self.ctx.block_frames
         start = block_index * n
         params = {}
+        extra = {}
         for path, node in self.nodes.items():
             d = {}
             for p in node.PARAMS:
                 t, v = self.timelines[(path, p.id)].lower_block(start, n, self.ctx.max_events)
                 d[p.id] = (t, v)
             params[path] = d
+            node_extra = node.lower_block_inputs(start, n)
+            if node_extra:
+                extra[path] = node_extra
         stops = {
             path: (np.int32(min(self.stop_frames[path], NEVER)), np.int32(min(self.kill_frames[path], NEVER)))
             for path in self.source_paths
         }
-        return {"frame0": np.int32(start), "params": params, "stops": stops}
+        return {"frame0": np.int32(start), "params": params, "stops": stops,
+                "extra": extra}
 
     def stacked_inputs(self, num_blocks: int):
         """All blocks' inputs stacked along a leading axis (for lax.scan)."""
@@ -257,6 +262,8 @@ class RenderProgram:
                 stop, kill = inputs["stops"][path]
                 values["_stop_at"] = jnp.asarray(stop)
                 values["_kill_at"] = jnp.asarray(kill)
+                for k, v in inputs.get("extra", {}).get(path, {}).items():
+                    values[k] = jnp.asarray(v)
                 ns, y = s.process(state["nodes"][path], None, values, self.ctx)
                 new_nodes[path] = ns
                 new_smoothers[path] = new_sm
@@ -267,6 +274,8 @@ class RenderProgram:
                     state["smoothers"], inputs["params"], path, e
                 )
                 values["_frame0"] = frame0
+                for k, v in inputs.get("extra", {}).get(path, {}).items():
+                    values[k] = jnp.asarray(v)
                 ns, acc = e.process(state["nodes"][path], acc, values, self.ctx)
                 new_nodes[path] = ns
                 new_smoothers[path] = new_sm

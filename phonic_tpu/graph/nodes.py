@@ -68,6 +68,13 @@ class Node:
         """Host-side message hook (e.g. reverb Reset).  Default: ignore."""
         return None
 
+    # --- node-specific per-block device inputs (e.g. note events) ---------
+    def lower_block_inputs(self, block_start: int, block_len: int):
+        """Host lowering hook: return a dict of extra per-block arrays that
+        ``process`` receives in its params dict (keys should start with
+        '_').  Generators use this to deliver voice-allocation tensors."""
+        return None
+
 
 class Effect(Node):
     """Audio in -> audio out.  ``tail_frames`` advertises ring-out length for
