@@ -102,7 +102,7 @@ def compensation_luts():
             out = shaper(sig, jnp.float32(d))
             orms = float(jnp.sqrt(jnp.mean(out**2)))
             luts[s, i] = in_rms / orms if orms > 1e-10 else 1.0
-    return jnp.asarray(luts)
+    return luts  # NumPy: safe to cache across jit traces
 
 
 class DistortionEffect(Effect):
@@ -128,7 +128,7 @@ class DistortionEffect(Effect):
         drive = params[DRIVE.id]  # [n]
         mix = params[MIX.id]  # [n]
 
-        luts = compensation_luts()
+        luts = jnp.asarray(compensation_luts())
         pos = jnp.clip(drive / MAX_DRIVE, 0.0, 1.0) * (_LUT_SIZE - 1)
         lo = jnp.floor(pos).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, _LUT_SIZE - 1)

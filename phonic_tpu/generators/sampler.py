@@ -40,6 +40,12 @@ from ..ops import resample as rs
 from ..ops.convert import panning_factors
 from ..params import DecibelScaling, ExponentialScaling, FloatParameter, IntegerParameter, format_gain, format_pan
 from .base import Generator, GeneratorPlaybackOptions
+from .granular import (
+    DIRECTIONS, GranularConfig, OVERLAP_MODES, POOL_SIZE, WINDOW_MODES,
+    grain_state_init, granular_voice_block,
+)
+from ..modulation.matrix import ModulationRoutings, apply_matrix, source_values
+from ..params import EnumParameter
 
 NEVER = np.iinfo(np.int32).max
 
@@ -50,15 +56,42 @@ VOLUME = FloatParameter("SVOL", "Volume", 1e-6, 15.848932, 1.0,
 PANNING = FloatParameter("SPAN", "Panning", -1.0, 1.0, 0.0, formatter=format_pan)
 
 # envelope parameters, 0..10 s exponentially scaled (sampler.rs:130-181)
-ENV_ATTACK = FloatParameter("AENV", "Attack", 0.0, 10.0, 0.01, unit="s",
+ENV_ATTACK = FloatParameter("AATK", "Attack", 0.0, 10.0, 0.01, unit="s",
                             scaling=ExponentialScaling(3.0), smoothing=None)
 ENV_HOLD = FloatParameter("AHLD", "Hold", 0.0, 10.0, 0.0, unit="s",
                           scaling=ExponentialScaling(3.0), smoothing=None)
-ENV_DECAY = FloatParameter("ADEC", "Decay", 0.0, 10.0, 0.0, unit="s",
+ENV_DECAY = FloatParameter("ADCY", "Decay", 0.0, 10.0, 0.0, unit="s",
                            scaling=ExponentialScaling(3.0), smoothing=None)
-ENV_SUSTAIN = FloatParameter("ASUS", "Sustain", 0.0, 1.0, 1.0, smoothing=None)
+ENV_SUSTAIN = FloatParameter("ASTN", "Sustain", 0.0, 1.0, 1.0, smoothing=None)
 ENV_RELEASE = FloatParameter("AREL", "Release", 0.0, 10.0, 0.05, unit="s",
                              scaling=ExponentialScaling(3.0), smoothing=None)
+
+# granular parameters (sampler.rs:219-296)
+GRAIN_OVERLAP = EnumParameter("GOVM", "Overlap Mode", OVERLAP_MODES, "Cloud")
+GRAIN_WINDOW = EnumParameter("GWND", "Window", WINDOW_MODES, "Hann")
+GRAIN_SIZE = FloatParameter("GSIZ", "Grain Size", 1.0, 1000.0, 100.0, unit="ms",
+                            scaling=ExponentialScaling(2.0), smoothing=None)
+GRAIN_DENSITY = FloatParameter("GDEN", "Density", 1.0, 100.0, 10.0, unit="Hz",
+                               scaling=ExponentialScaling(2.0), smoothing=None)
+GRAIN_VARIATION = FloatParameter("GVAR", "Variation", 0.0, 1.0, 0.0, smoothing=None)
+GRAIN_SPRAY = FloatParameter("GSPY", "Spray", 0.0, 1.0, 0.0, smoothing=None)
+GRAIN_PAN_SPREAD = FloatParameter("GPAN", "Pan Spread", 0.0, 1.0, 0.0, smoothing=None)
+GRAIN_DIRECTION = EnumParameter("GDIR", "Direction", DIRECTIONS, "Forward")
+GRAIN_POSITION = FloatParameter("GPOS", "Position", 0.0, 1.0, 0.5, smoothing=None)
+GRAIN_STEP = FloatParameter("GSTP", "Step", -4.0, 4.0, 0.0, unit="x", smoothing=None)
+LFO1_RATE = FloatParameter("ML1R", "LFO 1 Rate", 0.01, 20.0, 1.0, unit="Hz", smoothing=None)
+LFO1_WAVE = EnumParameter("ML1W", "LFO 1 Waveform",
+                          ("Sine", "Triangle", "Ramp Up", "Ramp Down", "Square",
+                           "Random", "Smooth Random"), "Sine")
+LFO2_RATE = FloatParameter("ML2R", "LFO 2 Rate", 0.01, 20.0, 2.0, unit="Hz", smoothing=None)
+LFO2_WAVE = EnumParameter("ML2W", "LFO 2 Waveform",
+                          ("Sine", "Triangle", "Ramp Up", "Ramp Down", "Square",
+                           "Random", "Smooth Random"), "Sine")
+
+GRANULAR_PARAMS = (GRAIN_OVERLAP, GRAIN_WINDOW, GRAIN_SIZE, GRAIN_DENSITY,
+                   GRAIN_VARIATION, GRAIN_SPRAY, GRAIN_PAN_SPREAD,
+                   GRAIN_DIRECTION, GRAIN_POSITION, GRAIN_STEP,
+                   LFO1_RATE, LFO1_WAVE, LFO2_RATE, LFO2_WAVE)
 
 
 @dataclasses.dataclass
@@ -99,7 +132,12 @@ class Sampler(Generator):
         self.envelope = envelope
         self.transpose = int(transpose)
         self.finetune = int(finetune)
+        self.granular: Optional[GranularConfig] = None
+        self.modulation = ModulationRoutings()
+        self.seed = 0x6A17
         self._plan_cache = None
+        self._mono_cache = None
+        self.PARAMS = Sampler.PARAMS  # may be extended by with_granular_playback
 
     @property
     def WEIGHT(self):  # reference: weight = active voices (sampler.rs:970)
@@ -114,6 +152,45 @@ class Sampler(Generator):
         self.envelope = AhdsrConfig(attack, hold, decay, sustain, release)
         return self
 
+    def with_granular_playback(self, config: Optional[GranularConfig] = None) -> "Sampler":
+        """Enable granular mode (reference: sampler.rs:598-637): the buffer is
+        monoized + resampled to the output rate for grain reads, granular +
+        modulation parameters activate, and each voice gets a grain pool."""
+        self.granular = config or GranularConfig()
+        self.PARAMS = Sampler.PARAMS + GRANULAR_PARAMS
+        return self
+
+    def set_modulation(self, source: str, target: str, amount: float,
+                       bipolar: bool = True):
+        self.modulation.set(source, target, amount, bipolar)
+
+    def clear_modulation(self, source: str, target: str):
+        self.modulation.clear(source, target)
+
+    def _mono_buffer(self, sample_rate: int):
+        """Mono buffer at the output rate for grain reads
+        (reference: create_granular_sample_buffer, sampler.rs:908-952)."""
+        if self._mono_cache is not None and self._mono_cache[0] == sample_rate:
+            return self._mono_cache[1]
+        data = np.asarray(self.buffer.data[:, :-1], np.float32)  # drop guard
+        mono = data.mean(axis=0)
+        if self.buffer.sample_rate != sample_rate:
+            ratio = self.buffer.sample_rate / sample_rate
+            n_out = max(int(len(mono) / ratio), 1)
+            pos = np.arange(n_out) * ratio
+            k = np.floor(pos).astype(np.int64)
+            fr = (pos - k).astype(np.float32)
+            def g(i):
+                return np.where((i >= 0) & (i < len(mono)), mono[np.clip(i, 0, len(mono) - 1)], 0.0)
+            ym1, y0, y1, y2 = g(k - 1), g(k), g(k + 1), g(k + 2)
+            c1 = (y1 - ym1) * 0.5
+            c2 = ym1 - y0 * 2.5 + y1 * 2.0 - y2 * 0.5
+            c3 = (y2 - ym1) * 0.5 + (y0 - y1) * 1.5
+            mono = (((c3 * fr + c2) * fr + c1) * fr + y0).astype(np.float32)
+        out = jnp.asarray(mono)
+        self._mono_cache = (sample_rate, out)
+        return out
+
     def param_initials(self):
         d = {TRANSPOSE.id: self.transpose, FINETUNE.id: self.finetune,
              VOLUME.id: self.options.volume, PANNING.id: self.options.panning}
@@ -121,6 +198,19 @@ class Sampler(Generator):
         d.update({ENV_ATTACK.id: env.attack, ENV_HOLD.id: env.hold,
                   ENV_DECAY.id: env.decay, ENV_SUSTAIN.id: env.sustain,
                   ENV_RELEASE.id: env.release})
+        if self.granular is not None:
+            g = self.granular
+            d.update({
+                GRAIN_OVERLAP.id: GRAIN_OVERLAP.index_of(g.overlap_mode),
+                GRAIN_WINDOW.id: GRAIN_WINDOW.index_of(g.window),
+                GRAIN_SIZE.id: g.size_ms, GRAIN_DENSITY.id: g.density_hz,
+                GRAIN_VARIATION.id: g.variation, GRAIN_SPRAY.id: g.spray,
+                GRAIN_PAN_SPREAD.id: g.pan_spread,
+                GRAIN_DIRECTION.id: GRAIN_DIRECTION.index_of(g.direction),
+                GRAIN_POSITION.id: g.position, GRAIN_STEP.id: g.step,
+                LFO1_RATE.id: 1.0, LFO1_WAVE.id: 0, LFO2_RATE.id: 2.0,
+                LFO2_WAVE.id: 0,
+            })
         return d
 
     # ------------------------------------------------------------------
@@ -217,6 +307,9 @@ class Sampler(Generator):
             "_trig_pan": np.zeros(v, np.float32),
             "_trig_rel": np.full(v, np.inf, np.float32),
         }
+        if self.granular is not None:
+            out["_mod_amt"] = self.modulation.amounts.copy()
+            out["_mod_bip"] = self.modulation.bipolar.copy()
         for vi, segs in enumerate(voices):
             cont = None
             trig = None
@@ -252,10 +345,16 @@ class Sampler(Generator):
     def init_state(self, ctx: BuildCtx):
         self._sr = ctx.sample_rate
         v = self.options.voices
-        return {
+        st = {
             "base": jnp.zeros((v,), jnp.int32),
             "frac": jnp.zeros((v,), jnp.float32),
         }
+        if self.granular is not None:
+            one = grain_state_init()
+            st["grains"] = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (v,) + x.shape).copy(), one
+            )
+        return st
 
     def _envelope_params(self, params):
         env0 = lambda pid: params[pid][0]
@@ -265,6 +364,11 @@ class Sampler(Generator):
         )
 
     def process(self, state, x, params, ctx: BuildCtx):
+        if self.granular is not None:
+            return self._process_granular(state, params, ctx)
+        return self._process_sampled(state, params, ctx)
+
+    def _process_sampled(self, state, params, ctx: BuildCtx):
         n = ctx.block_frames
         sr = ctx.sample_rate
         frames = self.buffer.frames
@@ -355,3 +459,110 @@ class Sampler(Generator):
         )
         mix = jnp.sum(outs, axis=0)  # [ch, n]
         return {"base": new_base, "frac": new_frac}, mix
+
+    def _process_granular(self, state, params, ctx: BuildCtx):
+        """Granular voice rendering: per-voice grain pools under vmap, with
+        the modulation matrix feeding the 7 granular targets."""
+        n = ctx.block_frames
+        sr = ctx.sample_rate
+        mono = self._mono_buffer(sr)
+        frames = mono.shape[0]
+        loop_norm = None
+        if self.buffer.loop_range is not None:
+            loop_norm = (self.buffer.loop_range[0] / self.buffer.frames,
+                         self.buffer.loop_range[1] / self.buffer.frames)
+
+        i = jnp.arange(n, dtype=jnp.int32)
+        frame0 = params["_frame0"].astype(jnp.int32)
+        pitch = jnp.exp2(params[TRANSPOSE.id] / 12.0 + params[FINETUNE.id] / 1200.0)
+        base_vol = params[VOLUME.id]
+        base_pan = params[PANNING.id]
+        env_p = self._envelope_params(params) if self.envelope is not None else None
+        max_trig = int(math.ceil(100.0 * n / sr)) + 2
+
+        overlap = params[GRAIN_OVERLAP.id][0].astype(jnp.int32)
+        wmode = params[GRAIN_WINDOW.id].astype(jnp.int32)
+        direction = params[GRAIN_DIRECTION.id].astype(jnp.int32)
+        lfo1_inc = params[LFO1_RATE.id][0] / sr
+        lfo2_inc = params[LFO2_RATE.id][0] / sr
+        lfo1_wf = params[LFO1_WAVE.id][0].astype(jnp.int32)
+        lfo2_wf = params[LFO2_WAVE.id][0].astype(jnp.int32)
+        amt = jnp.asarray(params["_mod_amt"], jnp.float32)
+        bip = jnp.asarray(params["_mod_bip"], jnp.float32)
+
+        def render_voice(gr_state, c_act, c_note, c_vol, c_pan, c_age0, c_rel,
+                         t_time, t_note, t_vol, t_pan, t_rel, voice_idx):
+            has_trig = (t_time < n) & (t_vol > 0.0)
+            in_b = i >= t_time
+            age = jnp.where(in_b & has_trig, i - t_time, c_age0 + i)
+            note = jnp.where(in_b & has_trig, t_note, c_note)
+            nvol = jnp.where(in_b & has_trig, t_vol, c_vol * c_act)
+            npan = jnp.where(in_b & has_trig, t_pan, c_pan)
+            rel = jnp.where(in_b & has_trig, t_rel, c_rel)
+            active = jnp.where(in_b & has_trig, True, c_act > 0.5)
+            held = active & (age.astype(jnp.float32) < rel) & (nvol > 0.0)
+
+            note_start = jnp.where(
+                has_trig, frame0 + t_time,
+                jnp.where(c_act > 0.5, frame0 - c_age0, jnp.int32(NEVER)),
+            )
+            speed = pitch * jnp.exp2((note - 60.0) / 12.0)
+            eff_vol = base_vol * nvol
+            eff_pan = jnp.clip(base_pan + npan, -1.0, 1.0)
+
+            # modulation sources/targets for this voice
+            src = source_values(age, nvol, note, lfo1_inc, lfo1_wf,
+                                lfo2_inc, lfo2_wf, n,
+                                seed=self.seed ^ (0x9E37 * (voice_idx + 1)))
+            mods = apply_matrix(src, amt, bip)  # [7, n]
+
+            gr_state, audio = granular_voice_block(
+                gr_state,
+                frame0=frame0, n=n, sr=sr, mono_buf=mono, loop_range=loop_norm,
+                note_start=note_start, held=held, speed=speed,
+                vol=eff_vol, pan=eff_pan,
+                size_ms=params[GRAIN_SIZE.id] * (1.0 + mods[0]),
+                density=params[GRAIN_DENSITY.id] * (1.0 + mods[1]),
+                variation=params[GRAIN_VARIATION.id] + mods[2],
+                spray=params[GRAIN_SPRAY.id] + mods[3],
+                pan_spread=params[GRAIN_PAN_SPREAD.id] + mods[4],
+                position=params[GRAIN_POSITION.id],
+                pos_mod=mods[5],
+                step=params[GRAIN_STEP.id],
+                speed_mod=mods[6],
+                overlap_mode=overlap, window_mode=wmode, direction=direction,
+                seed=self.seed ^ (voice_idx + 1) * 0x51ED,
+                max_triggers=max_trig,
+            )
+
+            # voice-level AHDSR (applied after the grain mix, voice.rs:470-486)
+            if env_p is not None:
+                env_a = ahdsr_ops.ahdsr_block(env_p, 1.0, c_age0, c_rel, n)
+                env_b = ahdsr_ops.ahdsr_block(env_p, 1.0, -t_time, t_rel, n)
+                env = jnp.where(in_b & has_trig, env_b,
+                                env_a * (c_act > 0.5).astype(jnp.float32))
+                audio = audio * env[None, :]
+            else:
+                audio = audio * active.astype(jnp.float32)[None, :]
+            return gr_state, audio
+
+        voice_idx = jnp.arange(self.options.voices, dtype=jnp.int32)
+        grains, outs = jax.vmap(
+            render_voice, in_axes=(0,) + (0,) * 11 + (0,)
+        )(
+            state["grains"],
+            params["_cont_active"], params["_cont_note"], params["_cont_vol"],
+            params["_cont_pan"], params["_cont_age0"], params["_cont_rel"],
+            params["_trig_time"], params["_trig_note"], params["_trig_vol"],
+            params["_trig_pan"], params["_trig_rel"], voice_idx,
+        )
+        mix = jnp.sum(outs, axis=0)
+        if ctx.channels == 1:
+            mix = ((mix[0] + mix[1]) * 0.5)[None, :]
+        elif ctx.channels > 2:
+            mix = jnp.concatenate(
+                [mix, jnp.zeros((ctx.channels - 2, n), mix.dtype)], axis=0
+            )
+        new_state = dict(state)
+        new_state["grains"] = grains
+        return new_state, mix
