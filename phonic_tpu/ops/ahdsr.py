@@ -203,6 +203,25 @@ def ahdsr_block(
     return out.astype(jnp.float32)
 
 
+def ahdsr_values(p: AhdsrParams, volume, ages, release_at):
+    """Envelope values at explicit per-sample ages (int32[n], runs since
+    note-on minus one) with a scalar-or-[n] release_at.  Used by synth voices
+    whose lane-mixed ages are not contiguous."""
+    c = jnp.asarray(ages, jnp.float32) + 1.0
+    started = c >= 1.0
+    release_at = jnp.asarray(release_at, jnp.float32)
+    held_val, _ = _display_value(p, volume, jnp.maximum(c, 1.0))
+    rel_level, _ = _display_value(p, volume, jnp.maximum(release_at, 1.0))
+    rel_level = jnp.where(release_at < 1.0, 0.0, rel_level)
+    r = c - release_at
+    cut = jnp.isinf(p.release_rate)
+    rel_val = rel_level * (1.0 - r * jnp.where(cut, 1.0, p.release_rate))
+    rel_val = jnp.where(cut | (rel_val <= SILENCE), 0.0, rel_val)
+    rel_val = jnp.where(rel_level <= jnp.finfo(jnp.float32).eps, 0.0, rel_val)
+    out = jnp.where(r > 0.0, rel_val, jnp.where(started, held_val, 0.0))
+    return out.astype(jnp.float32)
+
+
 def ahdsr_release_duration(p: AhdsrParams) -> jnp.ndarray:
     """Runs until the release hits the -60 dB cutoff from full level —
     used by voice allocators to retire voices."""

@@ -1,0 +1,142 @@
+"""One-shot synth tone source + the SynthDef voice protocol.
+
+Behavioural spec: reference src/source/synth.rs (SynthPlaybackOptions
+:27-61, stop message), src/source/synth/common.rs (generator trait + fades
+and status handling) and src/source/synth/fundsp.rs (FunDSP-unit-driven
+source that auto-exhausts after 2 s below -60 dB).
+
+The TPU analog of a FunDSP AudioUnit is a **SynthDef**: a pure-function
+voice with an explicit state pytree:
+
+    init(ctx)                                  -> state
+    render(state, SynthContext) -> (state, audio)   # mono [n] or [ch, n]
+
+SynthContext carries per-sample gate / frequency / age arrays so envelopes
+and glides are vectorised.  Ship your own DSP inside ``render`` with any
+jnp/ops primitives; see phonic_tpu.synths for dx7/organ/sub3 examples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..graph.nodes import BuildCtx, Source
+from ..ops.buffer import remap_channels
+from ..ops.convert import panning_factors
+from ..params import DecibelScaling, FloatParameter, format_gain, format_pan
+
+NEVER = np.iinfo(np.int32).max
+
+VOLUME = FloatParameter("VOLU", "Volume", 0.0, 4.0, 1.0,
+                        scaling=DecibelScaling(-60.0, 12.0), formatter=format_gain)
+PANNING = FloatParameter("PANN", "Panning", -1.0, 1.0, 0.0, formatter=format_pan)
+
+
+class SynthContext(NamedTuple):
+    """Per-block voice context handed to SynthDef.render."""
+
+    freq: jnp.ndarray  # f32[n] Hz
+    gate: jnp.ndarray  # f32[n] 1 while held, 0 after release
+    velocity: jnp.ndarray  # f32 scalar (or [n])
+    age: jnp.ndarray  # i32[n] samples since note start (may be negative)
+    release_age: jnp.ndarray  # f32 scalar/[n]: age at note-off (inf = held)
+    sample_rate: int
+    block_frames: int
+
+
+@dataclasses.dataclass
+class SynthDef:
+    """A pure-function synth voice (the FunDSP AudioUnit analog)."""
+
+    init: Callable[[BuildCtx], dict]
+    render: Callable[[dict, SynthContext], tuple]
+    channels: int = 1
+
+
+@dataclasses.dataclass
+class SynthPlaybackOptions:
+    """reference: src/source/synth.rs:27-61."""
+
+    volume: float = 1.0
+    panning: float = 0.0
+    start_time: int = 0
+    duration: Optional[int] = None  # output frames of gate-on; None = until stop
+    fade_out_secs: float = 0.05
+    frequency: float = 440.0
+    velocity: float = 1.0
+
+
+class SynthSource(Source):
+    """Plays one SynthDef voice as a plain source (play_synth path)."""
+
+    PARAMS = (VOLUME, PANNING)
+    WEIGHT = 2
+
+    def __init__(self, synth: SynthDef, options: Optional[SynthPlaybackOptions] = None,
+                 name=None):
+        super().__init__(name)
+        self.synth = synth
+        self.options = options or SynthPlaybackOptions()
+
+    def param_initials(self):
+        return {VOLUME.id: self.options.volume, PANNING.id: self.options.panning}
+
+    def init_state(self, ctx: BuildCtx):
+        return {"synth": self.synth.init(ctx)}
+
+    def duration_frames(self, ctx: BuildCtx) -> Optional[int]:
+        if self.options.duration is None:
+            return None
+        fade = int(self.options.fade_out_secs * ctx.sample_rate) + 1
+        return self.options.start_time + self.options.duration + fade
+
+    def process(self, state, x, params, ctx: BuildCtx):
+        n = ctx.block_frames
+        frame0 = params["_frame0"]
+        stop_at = params.get("_stop_at", jnp.int32(NEVER))
+        gframes = frame0 + jnp.arange(n, dtype=jnp.int32)
+        age = gframes - self.options.start_time
+
+        opt = self.options
+        gate_end = jnp.minimum(
+            jnp.int32(opt.start_time + opt.duration) if opt.duration is not None
+            else jnp.int32(NEVER),
+            stop_at,
+        )
+        gate = ((gframes >= opt.start_time) & (gframes < gate_end)).astype(jnp.float32)
+
+        sctx = SynthContext(
+            freq=jnp.full((n,), jnp.float32(opt.frequency)),
+            gate=gate,
+            velocity=jnp.float32(opt.velocity),
+            age=age,
+            release_age=(gate_end - opt.start_time).astype(jnp.float32),
+            sample_rate=ctx.sample_rate,
+            block_frames=n,
+        )
+        synth_state, audio = self.synth.render(state["synth"], sctx)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        audio = remap_channels(audio, ctx.channels)
+        audio = audio * (age >= 0).astype(jnp.float32)[None, :]
+
+        # de-click fade after the gate closes (the SynthDef's own envelope
+        # normally handles the decay; this guards non-enveloped defs)
+        k = (gframes - gate_end + 1).astype(jnp.float32)
+        log1m = math.log1p(-(1.0 - math.exp(
+            -1.0 / max(ctx.sample_rate * opt.fade_out_secs / math.log(100.0), 1e-9)
+        )))
+        down = jnp.exp(log1m * jnp.maximum(k, 0.0))
+        audio = audio * jnp.where(k > 0, jnp.where(down < 1e-4, 0.0, down), 1.0)[None, :]
+
+        gain = params[VOLUME.id]
+        audio = audio * gain[None, :]
+        if ctx.channels >= 2:
+            left, right = panning_factors(params[PANNING.id])
+            audio = audio.at[0].multiply(left).at[1].multiply(right)
+        return {"synth": synth_state}, audio
