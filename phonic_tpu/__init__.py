@@ -15,6 +15,12 @@ from .errors import (
 from .graph.mixer import Mixer
 from .graph.engine import RenderProgram
 from .sources.file import FileSource, FilePlaybackOptions
+from .sources.synth import SynthDef, SynthPlaybackOptions, SynthSource
+from .generators.base import Generator, GeneratorPlaybackOptions
+from .generators.sampler import AhdsrConfig, Sampler
+from .generators.granular import GranularConfig
+from .generators.synth import SynthGenerator
+from .player import Player, PlayerConfig
 from .io.decoder import AudioFileBuffer, AudioFileInfo
 
 __version__ = "0.1.0"

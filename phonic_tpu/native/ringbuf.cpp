@@ -1,0 +1,201 @@
+// Native realtime bridge: lock-free SPSC audio ring buffer + paced consumer.
+//
+// Behavioural spec: the reference's realtime edge is a CPAL audio callback
+// pulling a Source with assert_no_alloc guards (reference:
+// src/output/cpal.rs:616-724) and an SPSC ring between decoder and audio
+// threads (src/source/file/streamed.rs:522-524).  Here the accelerator
+// renders blocks ahead of time; this bridge owns the real-time side:
+//
+//   producer (Python render pump) --ph_ring_write--> ring --consumer thread-->
+//      ALSA (dlopen'd libasound, when present) or a wall-clock-paced sink.
+//
+// The consumer thread never allocates after start; the ring is power-of-two
+// masked with acquire/release atomics (single producer, single consumer).
+//
+// Build: make -C phonic_tpu/native   (produces libphonic_rt.so)
+
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <dlfcn.h>
+#include <thread>
+
+namespace {
+
+// ---- minimal ALSA surface, resolved at runtime ---------------------------
+struct AlsaApi {
+    void* lib = nullptr;
+    int (*open_)(void**, const char*, int, int) = nullptr;
+    int (*set_params)(void*, int, int, unsigned, unsigned, int, unsigned) = nullptr;
+    long (*writei)(void*, const void*, unsigned long) = nullptr;
+    int (*recover)(void*, int, int) = nullptr;
+    int (*close_)(void*) = nullptr;
+
+    bool load() {
+        lib = dlopen("libasound.so.2", RTLD_NOW | RTLD_LOCAL);
+        if (!lib) return false;
+        open_ = (int (*)(void**, const char*, int, int))dlsym(lib, "snd_pcm_open");
+        set_params = (int (*)(void*, int, int, unsigned, unsigned, int, unsigned))
+            dlsym(lib, "snd_pcm_set_params");
+        writei = (long (*)(void*, const void*, unsigned long))dlsym(lib, "snd_pcm_writei");
+        recover = (int (*)(void*, int, int))dlsym(lib, "snd_pcm_recover");
+        close_ = (int (*)(void*))dlsym(lib, "snd_pcm_close");
+        return open_ && set_params && writei && recover && close_;
+    }
+};
+
+constexpr int SND_PCM_STREAM_PLAYBACK = 0;
+constexpr int SND_PCM_FORMAT_FLOAT_LE = 14;
+constexpr int SND_PCM_ACCESS_RW_INTERLEAVED = 3;
+
+struct Ring {
+    float* data = nullptr;          // interleaved f32
+    uint32_t capacity_frames = 0;   // power of two
+    uint32_t mask = 0;
+    uint32_t channels = 2;
+    uint32_t sample_rate = 48000;
+    std::atomic<uint64_t> write_pos{0};  // frames produced
+    std::atomic<uint64_t> read_pos{0};   // frames consumed
+    std::atomic<bool> running{true};
+    std::atomic<bool> paused{false};
+    std::thread consumer;
+    AlsaApi alsa;
+    void* pcm = nullptr;
+    bool use_alsa = false;
+};
+
+uint32_t next_pow2(uint32_t v) {
+    uint32_t p = 1;
+    while (p < v) p <<= 1;
+    return p;
+}
+
+void consumer_loop(Ring* r) {
+    const uint32_t chunk = 256;  // frames per device write (~5.3 ms at 48k)
+    float* scratch = (float*)std::malloc(sizeof(float) * chunk * r->channels);
+    auto next_deadline = std::chrono::steady_clock::now();
+    const auto chunk_ns = std::chrono::nanoseconds(
+        (int64_t)(1e9 * chunk / r->sample_rate));
+
+    while (r->running.load(std::memory_order_acquire)) {
+        if (r->paused.load(std::memory_order_acquire)) {
+            std::this_thread::sleep_for(std::chrono::milliseconds(2));
+            next_deadline = std::chrono::steady_clock::now();
+            continue;
+        }
+        uint64_t rp = r->read_pos.load(std::memory_order_relaxed);
+        uint64_t wp = r->write_pos.load(std::memory_order_acquire);
+        uint32_t avail = (uint32_t)(wp - rp);
+        uint32_t frames = avail < chunk ? avail : chunk;
+
+        // copy out (zero-fill underruns so the device keeps running)
+        for (uint32_t f = 0; f < chunk; ++f) {
+            uint32_t src = (uint32_t)((rp + f) & r->mask) * r->channels;
+            for (uint32_t c = 0; c < r->channels; ++c)
+                scratch[f * r->channels + c] =
+                    f < frames ? r->data[src + c] : 0.0f;
+        }
+        r->read_pos.store(rp + frames, std::memory_order_release);
+
+        if (r->use_alsa) {
+            long got = r->alsa.writei(r->pcm, scratch, chunk);
+            if (got < 0) r->alsa.recover(r->pcm, (int)got, 1);
+        } else {
+            next_deadline += chunk_ns;
+            std::this_thread::sleep_until(next_deadline);
+        }
+    }
+    std::free(scratch);
+}
+
+}  // namespace
+
+extern "C" {
+
+int ph_alsa_available() {
+    AlsaApi api;
+    bool ok = api.load();
+    if (api.lib) dlclose(api.lib);
+    return ok ? 1 : 0;
+}
+
+void* ph_ring_create(uint32_t capacity_frames, uint32_t sample_rate,
+                     uint32_t channels, int try_alsa) {
+    Ring* r = new Ring();
+    r->capacity_frames = next_pow2(capacity_frames);
+    r->mask = r->capacity_frames - 1;
+    r->channels = channels;
+    r->sample_rate = sample_rate;
+    r->data = (float*)std::calloc((size_t)r->capacity_frames * channels,
+                                  sizeof(float));
+    if (try_alsa && r->alsa.load()) {
+        if (r->alsa.open_(&r->pcm, "default", SND_PCM_STREAM_PLAYBACK, 0) == 0 &&
+            r->alsa.set_params(r->pcm, SND_PCM_FORMAT_FLOAT_LE,
+                               SND_PCM_ACCESS_RW_INTERLEAVED, channels,
+                               sample_rate, 1, 100000 /* 100 ms */) == 0) {
+            r->use_alsa = true;
+        } else if (r->pcm) {
+            r->alsa.close_(r->pcm);
+            r->pcm = nullptr;
+        }
+    }
+    r->consumer = std::thread(consumer_loop, r);
+    return r;
+}
+
+// Blocking write of interleaved f32 frames; returns frames written or -1.
+int ph_ring_write(void* handle, const float* interleaved, uint32_t frames) {
+    Ring* r = (Ring*)handle;
+    uint32_t done = 0;
+    while (done < frames && r->running.load(std::memory_order_acquire)) {
+        uint64_t wp = r->write_pos.load(std::memory_order_relaxed);
+        uint64_t rp = r->read_pos.load(std::memory_order_acquire);
+        uint32_t space = r->capacity_frames - (uint32_t)(wp - rp);
+        if (space == 0) {
+            std::this_thread::sleep_for(std::chrono::milliseconds(1));
+            continue;
+        }
+        uint32_t todo = frames - done < space ? frames - done : space;
+        for (uint32_t f = 0; f < todo; ++f) {
+            uint32_t dst = (uint32_t)((wp + f) & r->mask) * r->channels;
+            std::memcpy(&r->data[dst], &interleaved[(done + f) * r->channels],
+                        sizeof(float) * r->channels);
+        }
+        r->write_pos.store(wp + todo, std::memory_order_release);
+        done += todo;
+    }
+    return (int)done;
+}
+
+uint64_t ph_ring_position(void* handle) {
+    return ((Ring*)handle)->read_pos.load(std::memory_order_acquire);
+}
+
+uint32_t ph_ring_space(void* handle) {
+    Ring* r = (Ring*)handle;
+    uint64_t wp = r->write_pos.load(std::memory_order_relaxed);
+    uint64_t rp = r->read_pos.load(std::memory_order_acquire);
+    return r->capacity_frames - (uint32_t)(wp - rp);
+}
+
+void ph_ring_pause(void* handle, int paused) {
+    ((Ring*)handle)->paused.store(paused != 0, std::memory_order_release);
+}
+
+int ph_ring_uses_alsa(void* handle) {
+    return ((Ring*)handle)->use_alsa ? 1 : 0;
+}
+
+void ph_ring_close(void* handle) {
+    Ring* r = (Ring*)handle;
+    r->running.store(false, std::memory_order_release);
+    if (r->consumer.joinable()) r->consumer.join();
+    if (r->pcm) r->alsa.close_(r->pcm);
+    if (r->alsa.lib) dlclose(r->alsa.lib);
+    std::free(r->data);
+    delete r;
+}
+
+}  // extern "C"

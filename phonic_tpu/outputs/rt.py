@@ -1,0 +1,117 @@
+"""Realtime output via the native ring-buffer bridge (ctypes).
+
+The C++ side (native/ringbuf.cpp) owns the real-time constraints: a
+lock-free SPSC ring fed by the Python render pump and drained by a
+dedicated consumer thread into ALSA (when libasound is present) or a
+wall-clock-paced sink.  Writing blocks when the ring is full, which paces
+the pump exactly like a device callback would pace the reference's
+audio thread (reference: src/output/cpal.rs).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+from ..errors import OutputDeviceError
+from .base import OutputDevice
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libphonic_rt.so"))
+
+
+@lru_cache(maxsize=1)
+def _load_lib():
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=60)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.ph_ring_create.restype = ctypes.c_void_p
+    lib.ph_ring_create.argtypes = [ctypes.c_uint32, ctypes.c_uint32,
+                                   ctypes.c_uint32, ctypes.c_int]
+    lib.ph_ring_write.restype = ctypes.c_int
+    lib.ph_ring_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                                  ctypes.c_uint32]
+    lib.ph_ring_position.restype = ctypes.c_uint64
+    lib.ph_ring_position.argtypes = [ctypes.c_void_p]
+    lib.ph_ring_space.restype = ctypes.c_uint32
+    lib.ph_ring_space.argtypes = [ctypes.c_void_p]
+    lib.ph_ring_pause.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ph_ring_close.argtypes = [ctypes.c_void_p]
+    lib.ph_ring_uses_alsa.restype = ctypes.c_int
+    lib.ph_ring_uses_alsa.argtypes = [ctypes.c_void_p]
+    lib.ph_alsa_available.restype = ctypes.c_int
+    return lib
+
+
+def rt_available() -> bool:
+    return _load_lib() is not None
+
+
+def alsa_available() -> bool:
+    lib = _load_lib()
+    return bool(lib and lib.ph_alsa_available())
+
+
+class RtOutput(OutputDevice):
+    def __init__(self, sample_rate: int = 48000, channels: int = 2,
+                 buffer_secs: float = 0.25, try_alsa: bool = True):
+        lib = _load_lib()
+        if lib is None:
+            raise OutputDeviceError("native realtime bridge unavailable "
+                                    "(build phonic_tpu/native)")
+        self._lib = lib
+        self._sr = sample_rate
+        self._ch = channels
+        self._handle = lib.ph_ring_create(
+            int(buffer_secs * sample_rate), sample_rate, channels,
+            1 if try_alsa else 0,
+        )
+        if not self._handle:
+            raise OutputDeviceError("failed to create native audio ring")
+
+    @property
+    def sample_rate(self) -> int:
+        return self._sr
+
+    @property
+    def channel_count(self) -> int:
+        return self._ch
+
+    @property
+    def sample_position(self) -> int:
+        return int(self._lib.ph_ring_position(self._handle))
+
+    @property
+    def uses_alsa(self) -> bool:
+        return bool(self._lib.ph_ring_uses_alsa(self._handle))
+
+    def space_frames(self) -> int:
+        return int(self._lib.ph_ring_space(self._handle))
+
+    def write(self, block) -> None:
+        # planar [ch, n] -> interleaved contiguous f32
+        inter = np.ascontiguousarray(np.asarray(block, np.float32).T).reshape(-1)
+        ptr = inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        self._lib.ph_ring_write(self._handle, ptr, inter.shape[0] // self._ch)
+
+    def pause(self) -> None:
+        self._lib.ph_ring_pause(self._handle, 1)
+
+    def resume(self) -> None:
+        self._lib.ph_ring_pause(self._handle, 0)
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.ph_ring_close(self._handle)
+            self._handle = None

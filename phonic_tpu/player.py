@@ -1,0 +1,382 @@
+"""Player: the control-plane facade (the engine's public API surface).
+
+Behavioural spec: reference src/player.rs — builds wrapper chains per played
+source, owns the main mixer + registries, returns Send+Sync handles for all
+live mutation (src/player/handles/*), publishes playback status and metering,
+and never touches samples on the control thread.
+
+TPU formulation: the Player owns a Mixer tree and compiles it into a
+RenderProgram lazily (recompiling only on *topology* edits — parameter
+changes, note events, stops and seeks are data, not topology).  A render
+pump pulls jitted blocks and pushes them into any OutputDevice; handles
+schedule sample-accurate control through the engine's timelines.  Metering
+(peak/RMS, reference src/source/metered.rs) and CPU load
+(processing-time / audio-time, reference src/source/measured.rs) are
+tracked per pumped block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import threading
+import time
+from typing import Optional, Union
+
+import numpy as np
+
+from .config import EngineConfig
+from .errors import NotFoundError, PhonicError
+from .events import ParamTimeline
+from .generators.base import Generator
+from .graph.engine import NEVER, RenderProgram
+from .graph.mixer import Mixer
+from .graph.nodes import Effect, Source
+from .io.decoder import AudioFileBuffer
+from .ops.convert import linear_to_db
+from .outputs.base import OutputDevice
+from .sources.file import FilePlaybackOptions, FileSource
+from .sources.synth import SynthDef, SynthPlaybackOptions, SynthSource
+from .effects.gain import GainEffect
+
+
+@dataclasses.dataclass
+class PlayerConfig:
+    """reference: src/player.rs:127-226."""
+
+    enforce_stereo_playback: bool = True
+    block_frames: int = 8192
+    max_events_per_block: int = 16
+    metering_interval_secs: float = 0.05
+    measure_cpu_load: bool = True
+
+
+@dataclasses.dataclass
+class CpuLoad:
+    """processing_time / rendered_audio_time (reference:
+    src/source/measured.rs:13-19)."""
+
+    average: float = 0.0
+    peak: float = 0.0
+
+
+@dataclasses.dataclass
+class AudioLevel:
+    peak: np.ndarray = None  # per channel
+    rms: np.ndarray = None
+
+    def peak_db(self) -> np.ndarray:
+        return np.asarray([float(linear_to_db(p)) for p in self.peak])
+
+    def rms_db(self) -> np.ndarray:
+        return np.asarray([float(linear_to_db(r)) for r in self.rms])
+
+
+class _Handle:
+    def __init__(self, player: "Player", node):
+        self._player = player
+        self._node = node
+
+    def set_parameter(self, pid: str, value, at: Optional[int] = None):
+        """Schedule a parameter change (sample-accurate).  ``at`` defaults to
+        'now' (the current playback position)."""
+        self._player._set_parameter(self._node, pid, value, at)
+
+    def set_parameters(self, values: dict, at: Optional[int] = None):
+        for pid, v in values.items():
+            self.set_parameter(pid, v, at)
+
+    def send_message(self, message):
+        self._node.handle_message(message)
+
+
+class PlaybackHandle(_Handle):
+    """File/synth playback control (reference: src/player/handles/file.rs)."""
+
+    def stop(self, at: Optional[int] = None):
+        self._player._stop_source(self._node, at, kill=False)
+
+    def kill(self, at: Optional[int] = None):
+        self._player._stop_source(self._node, at, kill=True)
+
+    def set_volume(self, volume: float, at: Optional[int] = None):
+        self.set_parameter("VOLU", volume, at)
+
+    def set_panning(self, panning: float, at: Optional[int] = None):
+        self.set_parameter("PANN", panning, at)
+
+    def set_speed(self, speed: float, at: Optional[int] = None):
+        self.set_parameter("SPED", speed, at)
+
+    def is_playing(self) -> bool:
+        return self._player._is_playing(self._node)
+
+
+class GeneratorPlaybackHandle(_Handle):
+    """reference: src/player/handles/generator.rs:200-460."""
+
+    def note_on(self, note: int, volume: float = 1.0, panning: float = 0.0,
+                at: Optional[int] = None) -> int:
+        return self._node.note_on(note, volume, panning, self._player._when(at))
+
+    def note_off(self, note_id: int, at: Optional[int] = None):
+        self._node.note_off(note_id, self._player._when(at))
+
+    def all_notes_off(self, at: Optional[int] = None):
+        self._node.all_notes_off(self._player._when(at))
+
+    def set_modulation(self, source: str, target: str, amount: float,
+                       bipolar: bool = True):
+        self._node.set_modulation(source, target, amount, bipolar)
+
+    def clear_modulation(self, source: str, target: str):
+        self._node.clear_modulation(source, target)
+
+
+class EffectHandle(_Handle):
+    pass
+
+
+class MixerHandle:
+    """reference: src/player/handles/mixer.rs — observability probes."""
+
+    def __init__(self, player: "Player", mixer: Mixer):
+        self._player = player
+        self.mixer = mixer
+
+    def add_effect(self, effect: Effect, index=None) -> EffectHandle:
+        return self._player.add_effect(effect, mixer=self.mixer, index=index)
+
+    def add_mixer(self) -> "MixerHandle":
+        return self._player.add_mixer(parent=self.mixer)
+
+    def cpu_load(self) -> CpuLoad:
+        return self._player.cpu_load()
+
+    def audio_level(self) -> AudioLevel:
+        return self._player.audio_level()
+
+
+class Player:
+    def __init__(self, output: OutputDevice, config: Optional[PlayerConfig] = None):
+        self.output = output
+        self.config = config or PlayerConfig()
+        channels = 2 if self.config.enforce_stereo_playback else output.channel_count
+        self.engine_config = EngineConfig(
+            sample_rate=output.sample_rate,
+            channels=channels,
+            block_frames=self.config.block_frames,
+            max_events_per_block=self.config.max_events_per_block,
+        )
+        self.main_mixer = Mixer("main")
+        # master gain (the analog of the player's smoothed master volume,
+        # reference src/output/cpal.rs:717)
+        self._master = self.main_mixer.add_effect(GainEffect(name="master"))
+        self._program: Optional[RenderProgram] = None
+        self._state = None
+        self._position = 0
+        self._pending: list = []  # deferred control ops before first compile
+        self._cpu = CpuLoad()
+        self._level = AudioLevel(np.zeros(channels), np.zeros(channels))
+        self._pump_thread: Optional[threading.Thread] = None
+        self._pump_stop = threading.Event()
+        self._cpu_alpha = 0.2
+
+    # ------------------------------------------------------------------
+    # graph building (topology edits invalidate the compiled program)
+    # ------------------------------------------------------------------
+
+    def _invalidate(self):
+        if self._program is not None:
+            # carry timelines/stops forward is complex; topology edits while
+            # running restart scheduling state (documented)
+            self._program = None
+            self._state = None
+
+    def add_mixer(self, parent: Optional[Mixer] = None) -> MixerHandle:
+        m = (parent or self.main_mixer).add_mixer()
+        self._invalidate()
+        return MixerHandle(self, m)
+
+    def add_effect(self, effect: Effect, mixer: Optional[Mixer] = None,
+                   index=None) -> EffectHandle:
+        target = mixer or self.main_mixer
+        # keep the master gain last on the main bus
+        if target is self.main_mixer and index is None:
+            target.add_effect(effect, index=len(target.effects) - 1)
+        else:
+            target.add_effect(effect, index)
+        self._invalidate()
+        return EffectHandle(self, effect)
+
+    def play_file(self, file: Union[str, AudioFileBuffer],
+                  options: Optional[FilePlaybackOptions] = None,
+                  mixer: Optional[Mixer] = None) -> PlaybackHandle:
+        buf = file if isinstance(file, AudioFileBuffer) else AudioFileBuffer.from_file(file)
+        src = FileSource(buf, options)
+        (mixer or self.main_mixer).add_source(src)
+        self._invalidate()
+        return PlaybackHandle(self, src)
+
+    def play_synth(self, synth: SynthDef,
+                   options: Optional[SynthPlaybackOptions] = None,
+                   mixer: Optional[Mixer] = None) -> PlaybackHandle:
+        src = SynthSource(synth, options)
+        (mixer or self.main_mixer).add_source(src)
+        self._invalidate()
+        return PlaybackHandle(self, src)
+
+    def play_generator(self, generator: Generator,
+                       mixer: Optional[Mixer] = None) -> GeneratorPlaybackHandle:
+        (mixer or self.main_mixer).add_source(generator)
+        self._invalidate()
+        return GeneratorPlaybackHandle(self, generator)
+
+    add_generator = play_generator  # fixed lifecycle differs only in stop semantics
+
+    # ------------------------------------------------------------------
+    # control plane
+    # ------------------------------------------------------------------
+
+    def _ensure_program(self) -> RenderProgram:
+        if self._program is None:
+            self._program = RenderProgram(self.main_mixer, self.engine_config)
+            self._state = self._program.init_state()
+            for op in self._pending:
+                op(self._program)
+            self._pending.clear()
+        return self._program
+
+    def _when(self, at: Optional[int]) -> int:
+        return self._position if at is None else int(at)
+
+    def _set_parameter(self, node, pid, value, at):
+        when = self._when(at)
+        if self._program is None:
+            self._pending.append(lambda p: p.set_parameter(node, pid, value, when))
+        else:
+            self._program.set_parameter(node, pid, value, when)
+
+    def _stop_source(self, node, at, kill=False):
+        when = self._when(at)
+        if self._program is None:
+            self._pending.append(lambda p: p.stop_source(node, when, kill=kill))
+        else:
+            self._program.stop_source(node, when, kill=kill)
+
+    def _is_playing(self, node) -> bool:
+        prog = self._ensure_program()
+        d = node.duration_frames(prog.ctx)
+        path = prog._resolve(node)
+        stop = prog.stop_frames.get(path, NEVER)
+        limit = min(x for x in (d, stop if stop != NEVER else None, NEVER)
+                    if x is not None)
+        return self._position < limit
+
+    @property
+    def volume(self) -> float:
+        return self._master.gain
+
+    def set_volume(self, volume: float, at: Optional[int] = None):
+        self._set_parameter(self._master, "GAIN", volume, at)
+
+    @property
+    def position(self) -> int:
+        """Output frames rendered so far (the device's own playhead may lag;
+        see OutputDevice.sample_position)."""
+        return self._position
+
+    def cpu_load(self) -> CpuLoad:
+        return self._cpu
+
+    def audio_level(self) -> AudioLevel:
+        return self._level
+
+    # ------------------------------------------------------------------
+    # transport: the render pump
+    # ------------------------------------------------------------------
+
+    def render_block(self) -> np.ndarray:
+        """Render exactly one block, updating metrics, and advance time."""
+        prog = self._ensure_program()
+        t0 = time.perf_counter()
+        block_index = self._position // prog.ctx.block_frames
+        self._state, audio = prog._jit_step(self._state, prog.block_inputs(block_index))
+        audio = np.asarray(audio)
+        dt = time.perf_counter() - t0
+        self._position += prog.ctx.block_frames
+
+        if self.config.measure_cpu_load:
+            load = dt / (prog.ctx.block_frames / prog.ctx.sample_rate)
+            self._cpu.peak = max(self._cpu.peak * 0.95, load)
+            self._cpu.average = (1 - self._cpu_alpha) * self._cpu.average + self._cpu_alpha * load
+        self._level = AudioLevel(
+            peak=np.max(np.abs(audio), axis=-1),
+            rms=np.sqrt(np.mean(np.square(audio), axis=-1)),
+        )
+        return audio
+
+    def run(self, duration_frames: Optional[int] = None):
+        """Pump blocks into the output device until the graph exhausts (or
+        for an explicit duration).  The analog of the reference's offline
+        WavOutput loop (src/output/wav.rs:210-250)."""
+        prog = self._ensure_program()
+        if duration_frames is None:
+            duration_frames = prog.natural_duration_frames()
+            if duration_frames is None:
+                raise PhonicError(
+                    "graph has endless sources; pass duration_frames or use run_async"
+                )
+        end = self._position + duration_frames
+        while self._position < end:
+            audio = self.render_block()
+            excess = self._position - end
+            if excess > 0:
+                audio = audio[:, : audio.shape[1] - excess]
+                self._position = end
+            self.output.write(audio)
+
+    def run_async(self) -> threading.Thread:
+        """Start a background pump (realtime devices pace it via their
+        blocking write)."""
+        self._pump_stop.clear()
+
+        def pump():
+            while not self._pump_stop.is_set():
+                self.output.write(self.render_block())
+
+        self._pump_thread = threading.Thread(target=pump, daemon=True,
+                                             name="phonic_render_pump")
+        self._pump_thread.start()
+        return self._pump_thread
+
+    def stop(self):
+        self._pump_stop.set()
+        if self._pump_thread is not None:
+            self._pump_thread.join(timeout=5.0)
+            self._pump_thread = None
+
+    def close(self):
+        self.stop()
+        self.output.close()
+
+    # ------------------------------------------------------------------
+    # introspection (reference: Display for Player, src/player.rs:1324-1414)
+    # ------------------------------------------------------------------
+
+    def __str__(self) -> str:
+        lines = [f"Player @{self.engine_config.sample_rate}Hz "
+                 f"{self.engine_config.channels}ch block={self.engine_config.block_frames}"]
+
+        def walk(m: Mixer, depth: int):
+            pad = "  " * depth
+            lines.append(f"{pad}Mixer '{m.name}' (weight {m.total_weight()})")
+            for s in m.sources:
+                lines.append(f"{pad}  Source '{s.name}' ({type(s).__name__})")
+            for e in m.effects:
+                lines.append(f"{pad}  Effect '{e.name}' ({type(e).__name__})")
+            for c in m.children:
+                walk(c, depth + 1)
+
+        walk(self.main_mixer, 0)
+        return "\n".join(lines)

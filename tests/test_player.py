@@ -1,0 +1,95 @@
+"""Player facade: handles, transport, metering, outputs."""
+
+import numpy as np
+import pytest
+
+from phonic_tpu.io import read_wav
+from phonic_tpu.io.decoder import AudioFileBuffer
+from phonic_tpu.player import Player, PlayerConfig
+from phonic_tpu.outputs.wav_out import WavOutput
+from phonic_tpu.outputs.null import NullOutput
+from phonic_tpu.sources.file import FilePlaybackOptions
+from phonic_tpu.sources.synth import SynthPlaybackOptions
+from phonic_tpu.effects.filter import FilterEffect
+from phonic_tpu.generators.sampler import AhdsrConfig, Sampler
+from phonic_tpu import synths
+
+SR = 48000
+
+
+def tone_buffer(frames=24000, freq=440.0):
+    t = np.arange(frames) / SR
+    return AudioFileBuffer.from_array(
+        (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)[None, :], SR)
+
+
+def test_play_file_to_wav_output(tmp_path):
+    out_path = tmp_path / "render.wav"
+    out = WavOutput(out_path, SR, 2)
+    player = Player(out, PlayerConfig(block_frames=2048))
+    h = player.play_file(tone_buffer(), FilePlaybackOptions(volume=0.7))
+    assert h.is_playing()
+    player.run()
+    player.close()
+    audio, info = read_wav(out_path)
+    assert info.channels == 2 and audio.shape[1] >= 24000
+    assert np.abs(audio).max() > 0.3
+    assert not h.is_playing()
+
+
+def test_scheduled_handle_control(tmp_path):
+    out = WavOutput(tmp_path / "a.wav", SR, 2)
+    player = Player(out, PlayerConfig(block_frames=2048))
+    h = player.play_file(tone_buffer(frames=48000),
+                         FilePlaybackOptions(fade_out_secs=0.01))
+    h.set_volume(0.1, at=10000)
+    h.stop(at=30000)
+    player.run(duration_frames=40960)
+    audio = out.audio()
+    # volume drop applied
+    assert np.abs(audio[:, 12000:16000]).max() < 0.12
+    # stopped + faded
+    assert np.abs(audio[:, 33000:]).max() < 1e-3
+
+
+def test_player_mixer_tree_and_effects():
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    sub = player.add_mixer()
+    player.play_file(tone_buffer(), mixer=sub.mixer)
+    fx = sub.add_effect(FilterEffect(cutoff=500.0))
+    fx.set_parameter("cuto", 1000.0, at=0)
+    player.run()
+    assert player.position > 0
+    s = str(player)
+    assert "Mixer 'main'" in s and "FilterEffect" in s
+    # master gain stays last on the main bus
+    assert player.main_mixer.effects[-1].name == "master"
+
+
+def test_player_generator_and_metrics():
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    g = player.play_generator(Sampler(tone_buffer(),
+                                      envelope=AhdsrConfig(release=0.05)))
+    nid = g.note_on(60, volume=0.9, at=0)
+    g.note_off(nid, at=12000)
+    player.run()
+    lvl = player.audio_level()
+    assert lvl.peak.shape == (2,)
+    cpu = player.cpu_load()
+    assert cpu.average > 0.0
+    # master volume control exists
+    player.set_volume(0.5)
+
+
+def test_player_synth_and_async_pump():
+    player = Player(NullOutput(SR, 2, realtime=True, buffer_secs=0.05),
+                    PlayerConfig(block_frames=2048))
+    player.play_synth(synths.organ(), SynthPlaybackOptions(duration=200000))
+    player.render_block()  # compile before timing the pump
+    player.run_async()
+    import time
+    time.sleep(0.5)
+    player.stop()
+    # realtime pacing: position should be roughly wall-clock * sr, not huge
+    assert 2048 < player.position < SR * 4
+    player.close()
