@@ -77,6 +77,12 @@ class RenderProgram:
                 self.timelines[(path, p.id)] = ParamTimeline(
                     initial=float(initials.get(p.id, p.default))
                 )
+        # expose each node's own parameter timelines to its host-side
+        # lowering hook (streamed sources integrate the speed timeline)
+        for path, node in self.nodes.items():
+            node._timelines = {
+                p.id: self.timelines[(path, p.id)] for p in node.PARAMS
+            }
         # scheduled stop/kill frames per source path (NEVER = none)
         self.stop_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
         self.kill_frames: dict[str, int] = {p: NEVER for p in self.source_paths}

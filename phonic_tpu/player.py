@@ -108,6 +108,10 @@ class PlaybackHandle(_Handle):
     def set_speed(self, speed: float, at: Optional[int] = None):
         self.set_parameter("SPED", speed, at)
 
+    def seek(self, to_source_frame: float, at: Optional[int] = None):
+        """Seek a file source (reference: FilePlaybackHandle::seek)."""
+        self._node.seek(self._player._when(at), to_source_frame)
+
     def is_playing(self) -> bool:
         return self._player._is_playing(self._node)
 
@@ -181,6 +185,10 @@ class Player:
         self._pump_thread: Optional[threading.Thread] = None
         self._pump_stop = threading.Event()
         self._cpu_alpha = 0.2
+        # GuardedSource analog (reference: src/source/guarded.rs): a
+        # non-finite master block is replaced by silence and reported once
+        self.panic_handler = None
+        self._panicked = False
 
     # ------------------------------------------------------------------
     # graph building (topology edits invalidate the compiled program)
@@ -303,6 +311,12 @@ class Player:
         block_index = self._position // prog.ctx.block_frames
         self._state, audio = prog._jit_step(self._state, prog.block_inputs(block_index))
         audio = np.asarray(audio)
+        if not np.isfinite(audio).all():
+            audio = np.zeros_like(audio)
+            if not self._panicked:
+                self._panicked = True
+                if self.panic_handler is not None:
+                    self.panic_handler("non-finite samples in master output")
         dt = time.perf_counter() - t0
         self._position += prog.ctx.block_frames
 

@@ -93,6 +93,21 @@ class FileSource(Source):
             raise ValueError(
                 f"unknown resampling quality {self.options.resampling_quality!r}"
             )
+        self._seeks: list[tuple[int, float]] = []  # (output frame, source frame)
+
+    def seek(self, at_frame: int, to_source_frame: float):
+        """Schedule a seek (reference: FilePlaybackMessage::Seek).  Like the
+        reference — which drains playback messages once per write call
+        (src/source/file/preloaded.rs) — seeks apply at block granularity:
+        the block containing ``at_frame`` starts at the new position."""
+        self._seeks.append((int(at_frame), float(to_source_frame)))
+
+    def lower_block_inputs(self, block_start: int, block_len: int):
+        flag, pos = 0.0, 0.0
+        for at, p in self._seeks:
+            if block_start <= at < block_start + block_len:
+                flag, pos = 1.0, p
+        return {"_seek_flag": np.float32(flag), "_seek_pos": np.float32(pos)}
 
     def param_initials(self):
         return {
@@ -188,6 +203,14 @@ class FileSource(Source):
         speed = params[SPEED.id]  # [n]
         active = (gframes >= self.options.start_time) & (gframes < kill_at)
 
+        # scheduled seeks replace the carried position at block start
+        seek_flag = params.get("_seek_flag", jnp.float32(0.0))
+        seek_pos = params.get("_seek_pos", jnp.float32(0.0))
+        seek_int = jnp.floor(seek_pos)
+        base0 = jnp.where(seek_flag > 0.5, seek_int.astype(jnp.int32), state["base"])
+        frac0 = jnp.where(seek_flag > 0.5, seek_pos - seek_int, state["frac"])
+        frac_lo0 = jnp.where(seek_flag > 0.5, 0.0, state["frac_lo"])
+
         steps = jnp.where(active, speed * np.float32(ratio), 0.0).astype(jnp.float32)
         # Positions as affine base + residual cumsum: exact (ulp-level) for
         # constant speed, and the residual is tiny during glides — a plain
@@ -199,10 +222,10 @@ class FileSource(Source):
         )
         # fractional offset from base; frac_lo folds the compensated
         # sub-ulp remainder back in
-        p = state["frac"] + (rel + state["frac_lo"])
+        p = frac0 + (rel + frac_lo0)
         ip = jnp.floor(p)
         fr = p - ip
-        ki = state["base"] + ip.astype(jnp.int32)
+        ki = base0 + ip.astype(jnp.int32)
 
         fki, ffr, live = self._fold(ki, fr)
         mask = (active & live).astype(jnp.float32)
@@ -227,9 +250,9 @@ class FileSource(Source):
             audio = audio.at[0].multiply(left).at[1].multiply(right)
 
         advance = s0 * np.float32(n) + resid[-1]
-        total, lo = ds_add(state["frac"], state["frac_lo"], advance)
+        total, lo = ds_add(frac0, frac_lo0, advance)
         carry = jnp.floor(total)
-        new_base = self._fold_state(state["base"] + carry.astype(jnp.int32))
+        new_base = self._fold_state(base0 + carry.astype(jnp.int32))
         # subtracting the integer part is exact, so lo carries over unchanged
         return {"base": new_base, "frac": total - carry, "frac_lo": lo}, audio
 

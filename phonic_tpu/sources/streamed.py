@@ -1,0 +1,239 @@
+"""Streamed file playback: O(window) device memory for arbitrarily long files.
+
+Behavioural spec: reference src/source/file/streamed.rs — a dedicated decoder
+thread feeds a 128 Ki-sample SPSC ring; the audio thread resamples from the
+ring with zero-padding at EOF; seek restarts the decoder.
+
+TPU formulation: the *host* is the decoder/feeder.  Per block it assembles a
+fixed-size window of the next W source frames **in playback order** (loop
+folding, repeats and seeks all applied host-side with cheap gathers) and
+ships it as a device input; the device reads the window with the same
+Hermite interpolation as the preloaded source at positions that are a pure
+cumsum of the speed timeline.  The device carries no position state — the
+host timeline is authoritative, so this source is trivially
+checkpoint/resume and scrub safe.
+
+The window is sized for a compile-time speed cap: W = block * ratio *
+speed_cap + margin.  Scheduling a speed above the cap recompiles (the
+program validates and raises with guidance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..errors import ParameterError
+from ..graph.nodes import BuildCtx, Source
+from ..io.decoder import AudioFileBuffer
+from ..ops import resample as rs
+from ..ops.buffer import remap_channels
+from ..ops.convert import panning_factors
+from ..params import DecibelScaling, FloatParameter, format_gain, format_pan
+from .file import FilePlaybackOptions, _host_fade_log1m
+
+NEVER = np.iinfo(np.int32).max
+
+VOLUME = FloatParameter("VOLU", "Volume", 0.0, 4.0, 1.0,
+                        scaling=DecibelScaling(-60.0, 12.0), formatter=format_gain)
+PANNING = FloatParameter("PANN", "Panning", -1.0, 1.0, 0.0, formatter=format_pan)
+SPEED = FloatParameter("SPED", "Speed", 0.001, 16.0, 1.0, smoothing=None)
+
+_MARGIN = 8
+
+
+class StreamedFileSource(Source):
+    """Streaming counterpart of FileSource (same options/controls)."""
+
+    PARAMS = (VOLUME, PANNING, SPEED)
+    WEIGHT = 1
+
+    def __init__(self, file: Union[str, AudioFileBuffer],
+                 options: Optional[FilePlaybackOptions] = None,
+                 speed_cap: Optional[float] = None, name=None):
+        super().__init__(name)
+        self.buffer = (file if isinstance(file, AudioFileBuffer)
+                       else AudioFileBuffer.from_file(file))
+        self.options = options or FilePlaybackOptions()
+        self.loop_range = self.options.loop_range or self.buffer.loop_range
+        self.loop_mode = self.buffer.loop_mode
+        self.speed_cap = float(speed_cap or max(self.options.speed * 2.0, 2.0))
+        self._seeks: list[tuple[int, float]] = []
+
+    def seek(self, at_frame: int, to_source_frame: float):
+        self._seeks.append((int(at_frame), float(to_source_frame)))
+
+    def param_initials(self):
+        return {VOLUME.id: self.options.volume, PANNING.id: self.options.panning,
+                SPEED.id: self.options.speed}
+
+    # ------------------------------------------------------------------
+    # host-side feeder
+    # ------------------------------------------------------------------
+
+    def _window_frames(self, ctx: BuildCtx) -> int:
+        ratio = self.buffer.sample_rate / ctx.sample_rate
+        return int(math.ceil(ctx.block_frames * ratio * self.speed_cap)) + _MARGIN
+
+    def _speed_at(self, frame: int) -> float:
+        tl = getattr(self, "_timelines", {}).get(SPEED.id)
+        return tl.value_at(frame) if tl is not None else self.options.speed
+
+    def _speed_integral(self, a: int, b: int) -> float:
+        """Integral of the (stepped) speed timeline over output frames
+        [a, b), in output-frame * speed units."""
+        tl = getattr(self, "_timelines", {}).get(SPEED.id)
+        if tl is None or not tl.times:
+            return (b - a) * self.options.speed
+        total = 0.0
+        cur = a
+        for t, v in zip(tl.times, tl.values):
+            if t <= a or t >= b:
+                continue
+            total += (t - cur) * tl.value_at(t - 1 if t > 0 else 0)
+            cur = t
+        total += (b - cur) * tl.value_at(b - 1)
+        return total
+
+    def _fold_indices(self, vp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Virtual positions -> buffer frame indices + live mask (NumPy twin
+        of FileSource._fold)."""
+        frames = self.buffer.frames
+        rpt = self.options.repeat
+        ki = vp
+        if self.loop_range is not None:
+            start, end = int(self.loop_range[0]), int(self.loop_range[1])
+            length = max(end - start, 1)
+            rel = ki - start
+            if self.loop_mode == "pingpong":
+                c = np.mod(rel, 2 * length)
+                fki = np.where(c < length, start + c, start + 2 * length - c - 1)
+            else:
+                fki = start + np.mod(rel, length)
+            if rpt is None:
+                live = np.ones_like(ki, bool)
+                out = np.where(ki >= start, fki, ki)
+            else:
+                span = start + (rpt + 1) * length
+                after = ki - rpt * length
+                out = np.where(ki < span, np.where(ki >= start, fki, ki), after)
+                live = ki < frames + rpt * length
+            return out, live
+        if rpt is None:
+            return np.mod(ki, frames), np.ones_like(ki, bool)
+        if rpt and rpt > 0:
+            return np.mod(ki, frames), ki < frames * (rpt + 1)
+        return ki, ki < frames
+
+    def lower_block_inputs(self, block_start: int, block_len: int):
+        ctx_sr = getattr(self, "_sr", 48000)
+        ratio = self.buffer.sample_rate / ctx_sr
+        if not hasattr(self, "_window_frames_cached"):
+            from ..graph.nodes import BuildCtx as _B
+            self._window_frames_cached = self._window_frames(
+                _B(ctx_sr, 2, 8192, 16))
+        w = self._window_frames_cached
+
+        # authoritative virtual position at block start: integral of the
+        # speed timeline since start_time, plus seeks
+        start = self.options.start_time
+        cur = start
+        pos = 0.0
+        for at, p in sorted(self._seeks):
+            if start <= at < block_start:
+                pos += self._speed_integral(cur, at) * ratio
+                pos = p
+                cur = at
+        pos += self._speed_integral(max(cur, start), max(block_start, start)) * ratio
+
+        base = math.floor(pos)
+        # assemble the playback-order window (1 guard frame before for the
+        # hermite -1 tap)
+        vp = base - 1 + np.arange(w, dtype=np.int64)
+        idx, live = self._fold_indices(vp)
+        data = np.asarray(self.buffer.data)  # [ch, frames+1]
+        safe = np.clip(idx, 0, data.shape[1] - 1)
+        win = np.where((live & (idx >= 0) & (idx < data.shape[1]))[None, :],
+                       data[:, safe], 0.0).astype(np.float32)
+        # end-of-stream mask in *virtual* frames relative to the window
+        return {
+            "_win": win,
+            "_win_frac": np.float32(pos - base),
+            "_win_live": live.astype(np.float32),
+        }
+
+    def duration_frames(self, ctx: BuildCtx) -> Optional[int]:
+        # mirror FileSource: finite only without endless loops
+        frames = self.buffer.frames
+        rpt = self.options.repeat
+        if rpt is None:
+            return None
+        if self.loop_range is not None:
+            start, end = self.loop_range
+            span = frames + rpt * (end - start)
+        else:
+            span = frames * (rpt + 1)
+        # conservative: integrate at the initial speed
+        return self.options.start_time + int(
+            math.ceil(span / (self.buffer.sample_rate / ctx.sample_rate
+                              * max(self.options.speed, 1e-6))))
+
+    def init_state(self, ctx: BuildCtx):
+        self._sr = ctx.sample_rate
+        self._window_frames_cached = self._window_frames(ctx)
+        return {}
+
+    def process(self, state, x, params, ctx: BuildCtx):
+        n = ctx.block_frames
+        frame0 = params["_frame0"]
+        stop_at = params.get("_stop_at", jnp.int32(NEVER))
+        kill_at = params.get("_kill_at", jnp.int32(NEVER))
+        gframes = frame0 + jnp.arange(n, dtype=jnp.int32)
+        ratio = self.buffer.sample_rate / ctx.sample_rate
+
+        speed = jnp.minimum(params[SPEED.id], self.speed_cap)
+        active = (gframes >= self.options.start_time) & (gframes < kill_at)
+        steps = jnp.where(active, speed * np.float32(ratio), 0.0)
+        s0 = steps[-1]
+        resid = jnp.cumsum(steps - s0)
+        rel = s0 * jnp.arange(n, dtype=jnp.float32) + jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), resid[:-1]]
+        )
+        # window position: +1 for the guard frame at the window start
+        pos = params["_win_frac"] + rel + 1.0
+
+        win = params["_win"]
+        live = params["_win_live"]
+        audio = rs.hermite_read(win, pos)
+        # mask samples whose window slot is beyond the stream end
+        slot = jnp.clip(pos.astype(jnp.int32), 0, live.shape[0] - 1)
+        mask = (active & (live[slot] > 0.5)).astype(jnp.float32)
+        audio = audio * mask[None, :]
+        audio = remap_channels(audio, ctx.channels)
+
+        gain = params[VOLUME.id] * self._fade_gains(gframes, stop_at, ctx)
+        audio = audio * gain[None, :]
+        if ctx.channels >= 2:
+            left, right = panning_factors(params[PANNING.id])
+            audio = audio.at[0].multiply(left).at[1].multiply(right)
+        return state, audio
+
+    def _fade_gains(self, gframes, stop_at, ctx: BuildCtx):
+        gain = jnp.ones(gframes.shape, jnp.float32)
+        if self.options.fade_in_secs > 0.0:
+            k = (gframes - self.options.start_time + 1).astype(jnp.float32)
+            log1m = _host_fade_log1m(self.options.fade_in_secs, ctx.sample_rate)
+            up = 1.0 - jnp.exp(log1m * jnp.maximum(k, 0.0))
+            gain = gain * jnp.where(k > 0, jnp.where(up > 1.0 - 1e-4, 1.0, up), 0.0)
+        if self.options.fade_out_secs > 0.0:
+            k = (gframes - stop_at + 1).astype(jnp.float32)
+            log1m = _host_fade_log1m(self.options.fade_out_secs, ctx.sample_rate)
+            down = jnp.exp(log1m * jnp.maximum(k, 0.0))
+            gain = gain * jnp.where(k > 0, jnp.where(down < 1e-4, 0.0, down), 1.0)
+        else:
+            gain = gain * (gframes < stop_at)
+        return gain

@@ -93,3 +93,55 @@ def test_player_synth_and_async_pump():
     # realtime pacing: position should be roughly wall-clock * sr, not huge
     assert 2048 < player.position < SR * 4
     player.close()
+
+
+def test_seek_and_waveform_and_checkpoint(tmp_path):
+    from phonic_tpu.ops import waveform
+    from phonic_tpu import checkpoint
+    from phonic_tpu import Mixer, RenderProgram, EngineConfig, FileSource
+
+    # seek: ramp buffer makes the jump visible
+    ramp = AudioFileBuffer.from_array(
+        np.linspace(0, 1, 48000, dtype=np.float32)[None, :], SR)
+    out = WavOutput(tmp_path / "s.wav", SR, 2)
+    player = Player(out, PlayerConfig(block_frames=2048))
+    h = player.play_file(ramp, FilePlaybackOptions(fade_out_secs=0.0))
+    h.seek(24000, at=8192)  # jump forward at block 4
+    player.run(duration_frames=16384)
+    audio = out.audio()
+    assert abs(audio[0, 8192] - 0.5) < 0.01  # jumped to the middle
+    assert abs(audio[0, 8191] - 8191 / 48000) < 0.01  # pre-seek untouched
+
+    # waveform display
+    mins, maxs = waveform.mixed_down(audio, 64)
+    assert mins.shape == (64,) and np.all(maxs >= mins)
+
+    # checkpoint/resume: identical continuation
+    m = Mixer("main")
+    src = FileSource(ramp, FilePlaybackOptions(fade_out_secs=0.0))
+    m.add_source(src)
+    prog = RenderProgram(m, EngineConfig(sample_rate=SR, block_frames=2048))
+    state = prog.init_state()
+    state, y1 = prog._jit_step(state, prog.block_inputs(0))
+    snap = checkpoint.save_state(state, tmp_path / "ckpt.pkl")
+    state, y2 = prog._jit_step(state, prog.block_inputs(1))
+    resumed = checkpoint.load_state(tmp_path / "ckpt.pkl")
+    _, y2b = prog._jit_step(resumed, prog.block_inputs(1))
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y2b))
+
+
+def test_nan_guard_silences_and_reports():
+    from phonic_tpu.sources.synth import SynthDef, SynthPlaybackOptions
+    import jax.numpy as jnp
+
+    def bad_render(state, ctx):
+        return state, jnp.full((ctx.block_frames,), jnp.nan)
+
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=1024))
+    reports = []
+    player.panic_handler = reports.append
+    player.play_synth(SynthDef(init=lambda c: {}, render=bad_render),
+                      SynthPlaybackOptions(duration=4096))
+    player.run(duration_frames=4096)
+    assert reports, "panic handler not called"
+    assert np.all(player.audio_level().peak == 0.0)
