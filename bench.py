@@ -1,59 +1,175 @@
 """Benchmark: audio-seconds rendered per second per chip at 48 kHz stereo.
 
-Runs the flagship mixer-graph config (16 endless file sources -> 4
-sub-mixers with effects -> master bus) on the default JAX backend (the real
-TPU under the driver) and prints ONE JSON line.
+Runs the five BASELINE.json configs on the default JAX backend (the real
+TPU under the driver) and prints ONE JSON line for the headline config
+(the 16-source mixer graph with full effect chains — BASELINE config 3).
+Per-config results go to bench_results.json and stderr.
 
-vs_baseline is the ratio against the BASELINE.json north star of 1000x
-real time per chip (the reference publishes no numbers of its own; its
-implicit target is 1x real time on a desktop CPU core).
+vs_baseline is the ratio against the BASELINE north star of 1000x real time
+per chip (the reference publishes no numbers; its implicit target is 1x
+real time on a desktop CPU).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _mk_config(block_frames):
+    from phonic_tpu import EngineConfig
+    return EngineConfig(sample_rate=48000, block_frames=block_frames)
+
+
+def _tone(frames=48000, freq=220.0, sr=48000, decay=2.0):
+    from phonic_tpu import AudioFileBuffer
+    t = np.arange(frames) / sr
+    x = (0.5 * np.sin(2 * np.pi * freq * t) * np.exp(-t * decay)).astype(np.float32)
+    return AudioFileBuffer.from_array(x[None, :], sr)
+
+
+def config_play_file():
+    """1: single WAV -> gain+pan+resample -> offline render."""
+    from phonic_tpu import FilePlaybackOptions, FileSource, Mixer, RenderProgram
+    m = Mixer("main")
+    m.add_source(FileSource(_tone(sr=48000), FilePlaybackOptions(
+        volume=0.8, panning=0.2, speed=1.09, repeat=None)))
+    return RenderProgram(m, _mk_config(131072))
+
+
+def config_sampler_64():
+    """2: 64-voice Sampler with AHDSR envelopes."""
+    from phonic_tpu import AhdsrConfig, Mixer, RenderProgram, Sampler
+    from phonic_tpu.generators.base import GeneratorPlaybackOptions
+    m = Mixer("main")
+    s = Sampler(_tone(), GeneratorPlaybackOptions(voices=64),
+                envelope=AhdsrConfig(attack=0.01, decay=0.3, sustain=0.6,
+                                     release=0.4))
+    rng = np.random.default_rng(0)
+    for k in range(64):
+        t = int(k * 480)
+        nid = s.note_on(int(rng.integers(36, 84)), float(rng.uniform(0.4, 1.0)),
+                        time=t)
+        s.note_off(nid, time=t + 400000)  # held across the bench window
+    m.add_source(s)
+    return RenderProgram(m, _mk_config(32768))
+
+
+def config_mixer_graph():
+    """3 (headline): 16 file sources -> 4 sub-mixers with EQ5+chorus+reverb."""
+    from phonic_tpu import FilePlaybackOptions, FileSource, Mixer, RenderProgram
+    from phonic_tpu.effects.eq5 import Eq5Effect
+    from phonic_tpu.effects.chorus import ChorusEffect
+    from phonic_tpu.effects.reverb import ReverbEffect
+    from phonic_tpu.effects.gain import GainEffect
+    rng = np.random.default_rng(0)
+    main = Mixer("main")
+    subs = [main.add_mixer(Mixer(f"sub{i}")) for i in range(4)]
+    for i in range(16):
+        buf = _tone(frames=12000 + 977 * i, freq=float(rng.uniform(80, 660)))
+        subs[i % 4].add_source(FileSource(buf, FilePlaybackOptions(
+            volume=float(rng.uniform(0.2, 0.6)),
+            panning=float(rng.uniform(-0.8, 0.8)),
+            speed=float(rng.uniform(0.5, 2.0)), repeat=None)))
+    for s in subs:
+        s.add_effect(Eq5Effect(gains=list(rng.uniform(-6, 6, 5))))
+        s.add_effect(ChorusEffect(rate=float(rng.uniform(0.3, 2.0))))
+    main.add_effect(ReverbEffect(room_size=0.6, wet=0.2))
+    main.add_effect(GainEffect(gain=0.8))
+    return RenderProgram(main, _mk_config(32768))
+
+
+def config_granular_1k():
+    """4: ~1k concurrent grains with per-grain envelopes."""
+    from phonic_tpu import GranularConfig, Mixer, RenderProgram, Sampler
+    from phonic_tpu.generators.base import GeneratorPlaybackOptions
+    m = Mixer("main")
+    # 10 voices x 100-grain pools, sized/densified so pools stay full
+    s = Sampler(_tone(frames=96000), GeneratorPlaybackOptions(voices=10)) \
+        .with_granular_playback(GranularConfig(
+            size_ms=1000.0, density_hz=100.0, position=0.3, variation=0.5,
+            spray=0.3, pan_spread=0.8))
+    for v in range(10):
+        s.note_on(48 + v, volume=0.3, time=v * 37)
+    m.add_source(s)
+    return RenderProgram(m, _mk_config(16384))
+
+
+def config_mastering():
+    """5: mastering chain on stems: gate + compressor/limiter + delay +
+    distortion."""
+    from phonic_tpu import FilePlaybackOptions, FileSource, Mixer, RenderProgram
+    from phonic_tpu.effects.gate import GateEffect
+    from phonic_tpu.effects.compressor import CompressorEffect
+    from phonic_tpu.effects.delay import DelayEffect
+    from phonic_tpu.effects.distortion import DistortionEffect
+    rng = np.random.default_rng(0)
+    m = Mixer("main")
+    for i in range(4):
+        m.add_source(FileSource(_tone(freq=float(rng.uniform(100, 500))),
+                                FilePlaybackOptions(volume=0.4, repeat=None)))
+    m.add_effect(GateEffect(threshold=-40.0))
+    m.add_effect(CompressorEffect(threshold=-12.0, ratio=4.0))
+    m.add_effect(DelayEffect(delay_ms=300.0, feedback=0.4, wet=0.3))
+    m.add_effect(DistortionEffect("Diode", drive=1.0, mix=0.3))
+    m.add_effect(CompressorEffect.limiter())
+    return RenderProgram(m, _mk_config(32768))
+
+
+CONFIGS = {
+    "play_file": config_play_file,
+    "sampler_64v": config_sampler_64,
+    "mixer_graph_16src": config_mixer_graph,
+    "granular_1k": config_granular_1k,
+    "mastering_chain": config_mastering,
+}
+
+HEADLINE = "mixer_graph_16src"
+
+
+def bench_program(prog, min_iters=10, min_secs=1.0):
     import jax
-
-    from __graft_entry__ import _flagship_program
-
-    # large blocks amortise the fixed per-step cost (the graph program is
-    # op-count-bound, not FLOP-bound); 131072 frames = 2.73 s of audio/step
-    block_frames = 131072
-    prog = _flagship_program(block_frames=block_frames)
-    sr = prog.ctx.sample_rate
-
     state = prog.init_state()
     inputs = prog.block_inputs(0)
     step = jax.jit(prog._step)
-
-    # compile + warmup
     state, audio = step(state, inputs)
     jax.block_until_ready(audio)
-
-    # steady-state timing: same inputs, state threads through
-    n_iters = 50
+    iters = 0
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    while True:
         state, audio = step(state, inputs)
+        iters += 1
+        if iters >= min_iters and time.perf_counter() - t0 > min_secs:
+            break
     jax.block_until_ready(audio)
     dt = time.perf_counter() - t0
+    return iters * prog.ctx.block_frames / prog.ctx.sample_rate / dt
 
-    audio_seconds = n_iters * block_frames / sr
-    rt_factor = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": "audio_seconds_rendered_per_sec_per_chip",
-                "value": round(rt_factor, 2),
-                "unit": "x_realtime_48kHz_stereo_16src_mixergraph",
-                "vs_baseline": round(rt_factor / 1000.0, 4),
-            }
-        )
-    )
+
+def main():
+    results = {}
+    for name, make in CONFIGS.items():
+        try:
+            prog = make()
+            rt = bench_program(prog)
+            results[name] = round(rt, 2)
+            print(f"  {name}: {rt:.1f}x realtime", file=sys.stderr)
+        except Exception as e:  # a config failure shouldn't kill the bench
+            results[name] = f"error: {e}"
+            print(f"  {name}: ERROR {e}", file=sys.stderr)
+
+    with open("bench_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+    headline = results.get(HEADLINE)
+    value = headline if isinstance(headline, (int, float)) else 0.0
+    print(json.dumps({
+        "metric": "audio_seconds_rendered_per_sec_per_chip",
+        "value": value,
+        "unit": "x_realtime_48kHz_stereo_16src_mixergraph_eq5_chorus_reverb",
+        "vs_baseline": round(value / 1000.0, 4),
+    }))
 
 
 if __name__ == "__main__":

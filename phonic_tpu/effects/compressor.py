@@ -38,6 +38,25 @@ _LN10_20 = 20.0 / math.log(10.0)
 DEFAULT_LIMITER_THRESHOLD = -0.01
 
 
+def _sliding_window_max(x, w: int):
+    """Exact sliding-window maximum (van Herk / Gil-Werman): two cummax
+    passes instead of ``lax.reduce_window`` (whose stride-1 lowering is
+    pathologically slow to compile on TPU for windows this wide).
+
+    Returns y with y[k] = max(x[k .. k+w-1]) for k in [0, len(x) - w].
+    """
+    n = x.shape[-1]
+    n_out = n - w + 1
+    pad = (-n) % w
+    xp = jnp.pad(x, (0, pad), constant_values=-jnp.inf)
+    chunks = xp.reshape(-1, w)
+    prefix = jax.lax.cummax(chunks, axis=1).reshape(-1)  # max(chunk_start..i)
+    suffix = jax.lax.cummax(chunks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    # window [k, k+w-1] spans at most two chunks: suffix covers k..chunk_end,
+    # prefix covers chunk_start..k+w-1
+    return jnp.maximum(suffix[:n_out], prefix[w - 1 : w - 1 + n_out])
+
+
 class CompressorEffect(Effect):
     PARAMS = (THRESHOLD, RATIO, KNEE, ATTACK, RELEASE, MAKEUP, LOOKAHEAD)
     WEIGHT = 4
@@ -105,9 +124,7 @@ class CompressorEffect(Effect):
         # limiter detector: exact sliding max over the last D frames incl. current
         ext_peak = jnp.maximum(jnp.abs(ext[0]), jnp.abs(ext[1]))
         if d > 0:
-            win = jax.lax.reduce_window(
-                ext_peak, -jnp.inf, jax.lax.max, (d,), (1,), "valid"
-            )
+            win = _sliding_window_max(ext_peak, d)  # win[k] = max(ext[k..k+d-1])
             lookahead_peak = win[-n:]
         else:
             lookahead_peak = frame_peak

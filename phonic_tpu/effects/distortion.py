@@ -87,7 +87,14 @@ SHAPERS = (soft_clip, hard_clip, diode, fuzz, fold)
 @lru_cache(maxsize=1)
 def compensation_luts():
     """[5, 256] input_rms/output_rms per (type, drive) — host-precomputed
-    with the reference's 5-partial probe signal (distortion.rs:84-121)."""
+    with the reference's 5-partial probe signal (distortion.rs:84-121).
+    Runs eagerly even when first touched inside a jit trace."""
+    import jax
+    with jax.ensure_compile_time_eval():
+        return _build_luts()
+
+
+def _build_luts():
     partials = [(1.0, 0.60), (2.7, 0.25), (5.3, 0.10), (9.1, 0.03), (14.6, 0.02)]
     peak = sum(a for _, a in partials)
     n = 256

@@ -348,6 +348,9 @@ class Sampler(Generator):
         st = {
             "base": jnp.zeros((v,), jnp.int32),
             "frac": jnp.zeros((v,), jnp.float32),
+            # device-resident sample data (see FileSource.init_state)
+            "buf": (jnp.asarray(self._mono_buffer(ctx.sample_rate))
+                    if self.granular is not None else jnp.asarray(self.buffer.data)),
         }
         if self.granular is not None:
             one = grain_state_init()
@@ -373,7 +376,7 @@ class Sampler(Generator):
         sr = ctx.sample_rate
         frames = self.buffer.frames
         ratio = self.buffer.sample_rate / sr
-        buf = jnp.asarray(self.buffer.data)
+        buf = state["buf"]
 
         i = jnp.arange(n, dtype=jnp.float32)
         ii = jnp.arange(n, dtype=jnp.int32)
@@ -458,14 +461,14 @@ class Sampler(Generator):
             params["_trig_pan"], params["_trig_rel"],
         )
         mix = jnp.sum(outs, axis=0)  # [ch, n]
-        return {"base": new_base, "frac": new_frac}, mix
+        return {"base": new_base, "frac": new_frac, "buf": buf}, mix
 
     def _process_granular(self, state, params, ctx: BuildCtx):
         """Granular voice rendering: per-voice grain pools under vmap, with
         the modulation matrix feeding the 7 granular targets."""
         n = ctx.block_frames
         sr = ctx.sample_rate
-        mono = self._mono_buffer(sr)
+        mono = state["buf"]
         frames = mono.shape[0]
         loop_norm = None
         if self.buffer.loop_range is not None:

@@ -83,11 +83,35 @@ class RenderProgram:
             node._timelines = {
                 p.id: self.timelines[(path, p.id)] for p in node.PARAMS
             }
+        self._build_param_groups()
         # scheduled stop/kill frames per source path (NEVER = none)
         self.stop_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
         self.kill_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
         # no buffer donation: init-state zeros alias across nodes
         self._jit_step = jax.jit(self._step)
+
+    def _build_param_groups(self):
+        """Group every (node, parameter) by smoother kind + coefficient so a
+        whole graph's parameter smoothing runs as a handful of vmapped
+        computations instead of hundreds of tiny per-parameter programs."""
+        groups: dict[tuple, list] = {}
+        for path, node in self.nodes.items():
+            for p in node.PARAMS:
+                kind = getattr(p, "smoothing", None)
+                arg = getattr(p, "smoothing_arg", None)
+                if kind == "exponential":
+                    key = ("exponential", float(arg or DEFAULT_INERTIA))
+                elif kind == "linear":
+                    key = ("linear", float(arg or 0.01))
+                elif kind == "spring":
+                    key = ("spring", float(arg or 4410.0))
+                else:
+                    key = ("step", 0.0)
+                groups.setdefault(key, []).append((path, p.id))
+        self._param_groups = groups
+        self._param_row = {
+            pp: (key, i) for key, pps in groups.items() for i, pp in enumerate(pps)
+        }
 
     def _index_nodes(self):
         self.nodes: dict[str, Node] = {}
@@ -168,27 +192,30 @@ class RenderProgram:
     # ------------------------------------------------------------------
 
     def init_state(self):
+        node_states = {
+            path: node.init_state(self.ctx) for path, node in self.nodes.items()
+        }
+        initials = {
+            path: node.param_initials() for path, node in self.nodes.items()
+        }
+
+        def init_value(path, pid):
+            node = self.nodes[path]
+            return jnp.float32(initials[path].get(pid, node.param(pid).default))
+
         smoothers = {}
-        node_states = {}
-        for path, node in self.nodes.items():
-            node_states[path] = node.init_state(self.ctx)
-            s = {}
-            initials = node.param_initials()
-            for p in node.PARAMS:
-                v = jnp.float32(initials.get(p.id, p.default))
-                kind = getattr(p, "smoothing", None)
-                if kind == "exponential":
-                    s[p.id] = smoothing.exp_smoother_init(v)
-                elif kind == "linear":
-                    s[p.id] = smoothing.lin_smoother_init(
-                        v, step=getattr(p, "smoothing_arg", None) or 0.01,
-                        sample_rate=self.ctx.sample_rate,
-                    )
-                elif kind == "spring":
-                    s[p.id] = smoothing.spring_smoother_init(v)
-                else:
-                    s[p.id] = v  # stepped: carry the current target
-            smoothers[path] = s
+        for key, pps in self._param_groups.items():
+            kind, arg = key
+            v = jnp.stack([init_value(path, pid) for path, pid in pps])
+            if kind == "exponential":
+                smoothers[key] = smoothing.exp_smoother_init(v)
+            elif kind == "linear":
+                smoothers[key] = smoothing.lin_smoother_init(
+                    v, step=arg, sample_rate=self.ctx.sample_rate)
+            elif kind == "spring":
+                smoothers[key] = smoothing.spring_smoother_init(v)
+            else:
+                smoothers[key] = v  # stepped: carry the current target
         return {"nodes": node_states, "smoothers": smoothers}
 
     def block_inputs(self, block_index: int):
@@ -196,13 +223,16 @@ class RenderProgram:
         n = self.ctx.block_frames
         start = block_index * n
         params = {}
+        for key, pps in self._param_groups.items():
+            ts, vs = [], []
+            for path, pid in pps:
+                t, v = self.timelines[(path, pid)].lower_block(
+                    start, n, self.ctx.max_events)
+                ts.append(t)
+                vs.append(v)
+            params[key] = (np.stack(ts), np.stack(vs))
         extra = {}
         for path, node in self.nodes.items():
-            d = {}
-            for p in node.PARAMS:
-                t, v = self.timelines[(path, p.id)].lower_block(start, n, self.ctx.max_events)
-                d[p.id] = (t, v)
-            params[path] = d
             node_extra = node.lower_block_inputs(start, n)
             if node_extra:
                 extra[path] = node_extra
@@ -222,37 +252,47 @@ class RenderProgram:
     # the compiled step
     # ------------------------------------------------------------------
 
-    def _apply_params(self, smoother_state, inputs_params, path, node):
+    def _smooth_all_params(self, smoother_state, inputs_params):
+        """Run every parameter group's smoother as one vmapped computation;
+        returns (new_smoother_states, values[key] -> [P, n])."""
         n = self.ctx.block_frames
-        new_sm = {}
+        new_states = {}
+        group_values = {}
+        for key in self._param_groups:
+            kind, arg = key
+            t, v = inputs_params[key]
+            ev = smoothing.SegmentEvents(jnp.asarray(t), jnp.asarray(v))
+            st = smoother_state[key]
+            if kind == "exponential":
+                alpha = smoothing.exp_alpha(arg, self.ctx.sample_rate)
+                fn = lambda s_, e_: smoothing.exp_smoother_block(s_, e_, n, alpha)
+            elif kind == "linear":
+                fn = lambda s_, e_: smoothing.lin_smoother_block(s_, e_, n)
+            elif kind == "spring":
+                omega = smoothing.spring_omega(arg)
+                fn = lambda s_, e_: smoothing.spring_smoother_block(
+                    s_, e_, n, omega, self.ctx.sample_rate)
+            else:
+                fn = lambda s_, e_: _step_targets(s_, e_, n)
+            new_st, vals = jax.vmap(fn)(st, ev)
+            new_states[key] = new_st
+            group_values[key] = vals
+        return new_states, group_values
+
+    def _node_param_values(self, group_values, path, node):
         values = {}
         for p in node.PARAMS:
-            t, v = inputs_params[path][p.id]
-            ev = smoothing.SegmentEvents(jnp.asarray(t), jnp.asarray(v))
-            st = smoother_state[path][p.id]
-            kind = getattr(p, "smoothing", None)
-            if kind == "exponential":
-                inertia = getattr(p, "smoothing_arg", None) or DEFAULT_INERTIA
-                alpha = smoothing.exp_alpha(inertia, self.ctx.sample_rate)
-                new_st, vals = smoothing.exp_smoother_block(st, ev, n, alpha)
-            elif kind == "linear":
-                new_st, vals = smoothing.lin_smoother_block(st, ev, n)
-            elif kind == "spring":
-                omega = smoothing.spring_omega(getattr(p, "smoothing_arg", None) or 4410.0)
-                new_st, vals = smoothing.spring_smoother_block(
-                    st, ev, n, omega, self.ctx.sample_rate
-                )
-            else:
-                new_st, vals = _step_targets(st, ev, n)
-            new_sm[p.id] = new_st
-            values[p.id] = vals
-        return new_sm, values
+            key, row = self._param_row[(path, p.id)]
+            values[p.id] = group_values[key][row]
+        return values
 
     def _step(self, state, inputs):
         """Pure block renderer: (state, inputs) -> (state, audio[ch, n])."""
         frame0 = jnp.asarray(inputs["frame0"])
         new_nodes = {}
-        new_smoothers = {}
+        new_smoothers, group_values = self._smooth_all_params(
+            state["smoothers"], inputs["params"]
+        )
 
         def render_mixer(m: Mixer, prefix: str):
             acc = jnp.zeros((self.ctx.channels, self.ctx.block_frames), self.config.dtype)
@@ -261,9 +301,7 @@ class RenderProgram:
                 acc = acc + render_mixer(child, f"{me}/")
             for s in m.sources:
                 path = f"{me}/{s.name}"
-                new_sm, values = self._apply_params(
-                    state["smoothers"], inputs["params"], path, s
-                )
+                values = self._node_param_values(group_values, path, s)
                 values["_frame0"] = frame0
                 stop, kill = inputs["stops"][path]
                 values["_stop_at"] = jnp.asarray(stop)
@@ -272,19 +310,15 @@ class RenderProgram:
                     values[k] = jnp.asarray(v)
                 ns, y = s.process(state["nodes"][path], None, values, self.ctx)
                 new_nodes[path] = ns
-                new_smoothers[path] = new_sm
                 acc = acc + y
             for e in m.effects:
                 path = f"{me}/{e.name}"
-                new_sm, values = self._apply_params(
-                    state["smoothers"], inputs["params"], path, e
-                )
+                values = self._node_param_values(group_values, path, e)
                 values["_frame0"] = frame0
                 for k, v in inputs.get("extra", {}).get(path, {}).items():
                     values[k] = jnp.asarray(v)
                 ns, acc = e.process(state["nodes"][path], acc, values, self.ctx)
                 new_nodes[path] = ns
-                new_smoothers[path] = new_sm
             return acc
 
         audio = render_mixer(self.root, "")

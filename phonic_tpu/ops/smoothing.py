@@ -167,7 +167,7 @@ def lin_smoother_init(value, step: float = 0.01, sample_rate: int = 48000) -> Li
     return LinSmootherState(
         current=value,
         target=value,
-        step=jnp.asarray(step * comp, jnp.float32),
+        step=jnp.full_like(value, step * comp),
         pending=jnp.zeros_like(value),
     )
 

@@ -138,11 +138,15 @@ class FileSource(Source):
 
     def init_state(self, ctx: BuildCtx):
         # position = base + frac + frac_lo; the (frac, frac_lo) pair is
-        # compensated f32 so block-boundary rounding never accumulates
+        # compensated f32 so block-boundary rounding never accumulates.
+        # The sample data rides in the state pytree (threaded unchanged):
+        # passing it as an argument keeps it device-resident, where a
+        # closure constant would be re-staged per execution on some backends.
         return {
             "base": jnp.zeros((), jnp.int32),
             "frac": jnp.zeros((), jnp.float32),
             "frac_lo": jnp.zeros((), jnp.float32),
+            "buf": jnp.asarray(self.buffer.data),
         }
 
     def _fold(self, ki, fr):
@@ -230,7 +234,7 @@ class FileSource(Source):
         fki, ffr, live = self._fold(ki, fr)
         mask = (active & live).astype(jnp.float32)
 
-        buf = jnp.asarray(self.buffer.data)  # [ch, frames+1] (guard frame)
+        buf = state["buf"]  # [ch, frames+1] (guard frame)
         pos = fki.astype(jnp.float32) + ffr
         if self.options.resampling_quality == "high":
             table = rs.sinc_table(
@@ -254,7 +258,8 @@ class FileSource(Source):
         carry = jnp.floor(total)
         new_base = self._fold_state(base0 + carry.astype(jnp.int32))
         # subtracting the integer part is exact, so lo carries over unchanged
-        return {"base": new_base, "frac": total - carry, "frac_lo": lo}, audio
+        return {"base": new_base, "frac": total - carry, "frac_lo": lo,
+                "buf": buf}, audio
 
     def _fade_gains(self, gframes, stop_at, kill_at, ctx: BuildCtx):
         """Analytic fade-in from start_time and fade-out from stop_at
