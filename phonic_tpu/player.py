@@ -52,6 +52,17 @@ class PlayerConfig:
 
 
 @dataclasses.dataclass
+class PlaybackStatusEvent:
+    """reference: src/source/status.rs — Position while playing, Stopped on
+    exhaustion/stop."""
+
+    kind: str  # "position" | "stopped"
+    source: object  # the source node
+    position: int = 0  # output frames into the source's playback
+    exhausted: bool = False
+
+
+@dataclasses.dataclass
 class CpuLoad:
     """processing_time / rendered_audio_time (reference:
     src/source/measured.rs:13-19)."""
@@ -189,6 +200,10 @@ class Player:
         # non-finite master block is replaced by silence and reported once
         self.panic_handler = None
         self._panicked = False
+        # playback status events (reference: status proxy thread,
+        # src/player.rs:1135-1176) — delivered per pumped block
+        self.status_handler = None
+        self._live_sources: set = set()
 
     # ------------------------------------------------------------------
     # graph building (topology edits invalidate the compiled program)
@@ -328,7 +343,24 @@ class Player:
             peak=np.max(np.abs(audio), axis=-1),
             rms=np.sqrt(np.mean(np.square(audio), axis=-1)),
         )
+        if self.status_handler is not None:
+            self._emit_status(prog)
         return audio
+
+    def _emit_status(self, prog):
+        for path in prog.source_paths:
+            node = prog.nodes[path]
+            was_live = node in self._live_sources
+            playing = self._is_playing(node)
+            start = getattr(getattr(node, "options", None), "start_time", 0)
+            if playing and self._position > start:
+                self._live_sources.add(node)
+                self.status_handler(PlaybackStatusEvent(
+                    "position", node, position=self._position - start))
+            elif was_live and not playing:
+                self._live_sources.discard(node)
+                self.status_handler(PlaybackStatusEvent(
+                    "stopped", node, exhausted=True))
 
     def run(self, duration_frames: Optional[int] = None):
         """Pump blocks into the output device until the graph exhausts (or

@@ -145,3 +145,18 @@ def test_nan_guard_silences_and_reports():
     player.run(duration_frames=4096)
     assert reports, "panic handler not called"
     assert np.all(player.audio_level().peak == 0.0)
+
+
+def test_playback_status_events():
+    from phonic_tpu.player import PlaybackStatusEvent
+
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    events = []
+    player.status_handler = events.append
+    player.play_file(tone_buffer(frames=10000), FilePlaybackOptions(fade_out_secs=0.0))
+    player.run(duration_frames=16384)
+    kinds = [e.kind for e in events]
+    assert "position" in kinds and "stopped" in kinds
+    # positions advance monotonically while playing
+    pos = [e.position for e in events if e.kind == "position"]
+    assert pos == sorted(pos) and pos[-1] > 0
