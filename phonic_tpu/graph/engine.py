@@ -90,6 +90,16 @@ class RenderProgram:
         # no buffer donation: init-state zeros alias across nodes
         self._jit_step = jax.jit(self._step)
 
+    def jit_cache_size(self) -> int:
+        """Number of compiled variants of the block step.  The analog of the
+        reference's assert_no_alloc RT guard (src/output/cpal.rs:712-715):
+        steady-state rendering must never recompile — assert this stays at 1
+        after warmup (shape-changing inputs are an engine bug)."""
+        try:
+            return self._jit_step._cache_size()
+        except AttributeError:
+            return -1
+
     def _build_param_groups(self):
         """Group every (node, parameter) by smoother kind + coefficient so a
         whole graph's parameter smoothing runs as a handful of vmapped

@@ -35,7 +35,7 @@ def impulse_input(n):
 
 @pytest.mark.parametrize("mode", ["Stereo", "Ping Pong"])
 def test_delay_matches_oracle(mode):
-    n = 6 * 4096  # whole blocks
+    n = 4 * 4096  # whole blocks
     x = impulse_input(n)
     node = delay_fx.DelayEffect(
         mode=mode, delay_ms=100.0, feedback=0.6, filter_cutoff=4000.0,
@@ -54,7 +54,7 @@ def test_delay_matches_oracle(mode):
 def test_delay_lfo_modulation_matches_oracle():
     # smooth input: fractional-delay modulation error scales with the signal
     # derivative, so impulses would only measure f32-vs-f64 LFO phase noise
-    n = 6 * 4096
+    n = 4 * 4096
     t = np.arange(n) / SR
     x = np.stack([
         (0.5 * np.sin(2 * np.pi * 330 * t) * np.exp(-t * 4)),

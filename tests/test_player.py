@@ -160,3 +160,20 @@ def test_playback_status_events():
     # positions advance monotonically while playing
     pos = [e.position for e in events if e.kind == "position"]
     assert pos == sorted(pos) and pos[-1] > 0
+
+
+def test_no_recompiles_in_steady_state():
+    # the jit-recompile guard: the analog of the reference's assert_no_alloc
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=1024))
+    h = player.play_file(tone_buffer(frames=48000),
+                         FilePlaybackOptions(fade_out_secs=0.0))
+    player.render_block()
+    prog = player._program
+    size0 = prog.jit_cache_size()
+    # schedule live control mid-render: must NOT recompile
+    h.set_volume(0.5)
+    h.set_panning(0.4)
+    h.stop(at=40000)
+    for _ in range(8):
+        player.render_block()
+    assert prog.jit_cache_size() == size0 == 1
