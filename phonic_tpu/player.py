@@ -232,6 +232,16 @@ class Player:
         self._invalidate()
         return EffectHandle(self, effect)
 
+    def move_effect(self, effect: Effect, new_index: int,
+                    mixer: Optional[Mixer] = None):
+        """reference: EffectMovement (src/player.rs:75-82)."""
+        (mixer or self.main_mixer).move_effect(effect, new_index)
+        self._invalidate()
+
+    def remove_effect(self, effect: Effect, mixer: Optional[Mixer] = None):
+        (mixer or self.main_mixer).remove_effect(effect)
+        self._invalidate()
+
     def play_file(self, file: Union[str, AudioFileBuffer],
                   options: Optional[FilePlaybackOptions] = None,
                   mixer: Optional[Mixer] = None) -> PlaybackHandle:
