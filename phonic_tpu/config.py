@@ -46,6 +46,8 @@ class EngineConfig:
     # Maximum number of scheduled parameter events honoured per block; events
     # beyond this are folded onto the final segment by the host lowering.
     max_events_per_block: int = 16
+    # render homogeneous FileSources as vmapped lane banks (graph/batching.py)
+    batch_sources: bool = True
     # dtype used for audio samples.
     dtype: jnp.dtype = jnp.float32
     # dtype used for recursive filter state / associative scans.  float32 is

@@ -33,6 +33,8 @@ from ..ops import smoothing
 from ..params import BooleanParameter, EnumParameter, FloatParameter, IntegerParameter
 from .mixer import Mixer
 from .nodes import BuildCtx, Node
+from .batching import FileBatch, group_key as _file_group_key
+from ..sources.file import FileSource
 
 # int32-safe sentinel: single renders are limited to 2^31-1 frames (~12.4 h
 # at 48 kHz) so the engine works without jax_enable_x64
@@ -84,6 +86,7 @@ class RenderProgram:
                 p.id: self.timelines[(path, p.id)] for p in node.PARAMS
             }
         self._build_param_groups()
+        self._build_source_batches()
         # scheduled stop/kill frames per source path (NEVER = none)
         self.stop_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
         self.kill_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
@@ -122,6 +125,28 @@ class RenderProgram:
         self._param_row = {
             pp: (key, i) for key, pps in groups.items() for i, pp in enumerate(pps)
         }
+
+    def _build_source_batches(self):
+        """Collect homogeneous FileSources into vmapped lane banks
+        (graph/batching.py); groups of one render through the normal path."""
+        self.file_batches: dict[int, FileBatch] = {}
+        self._batched_row: dict[str, tuple[int, int]] = {}
+        if not getattr(self.config, "batch_sources", True):
+            return
+        groups: dict[tuple, list[str]] = {}
+        for path in self.source_paths:
+            node = self.nodes[path]
+            if isinstance(node, FileSource) and type(node) is FileSource:
+                groups.setdefault(_file_group_key(node, self.ctx), []).append(path)
+        gid = 0
+        for key, paths in groups.items():
+            if len(paths) < 2:
+                continue
+            batch = FileBatch([self.nodes[p] for p in paths], paths, self.ctx)
+            self.file_batches[gid] = batch
+            for i, p in enumerate(paths):
+                self._batched_row[p] = (gid, i)
+            gid += 1
 
     def _index_nodes(self):
         self.nodes: dict[str, Node] = {}
@@ -213,6 +238,9 @@ class RenderProgram:
             node = self.nodes[path]
             return jnp.float32(initials[path].get(pid, node.param(pid).default))
 
+        file_batches = {
+            gid: b.init_state() for gid, b in self.file_batches.items()
+        }
         smoothers = {}
         for key, pps in self._param_groups.items():
             kind, arg = key
@@ -226,7 +254,8 @@ class RenderProgram:
                 smoothers[key] = smoothing.spring_smoother_init(v)
             else:
                 smoothers[key] = v  # stepped: carry the current target
-        return {"nodes": node_states, "smoothers": smoothers}
+        return {"nodes": node_states, "smoothers": smoothers,
+                "file_batches": file_batches}
 
     def block_inputs(self, block_index: int):
         """Host-side lowering of one block's events (NumPy pytree)."""
@@ -304,6 +333,33 @@ class RenderProgram:
             state["smoothers"], inputs["params"]
         )
 
+        # batched file-source lane banks render first (one vmapped call per
+        # homogeneous group); render_mixer then consumes their rows
+        batch_out: dict[str, jnp.ndarray] = {}
+        new_batches = {}
+        for gid, batch in self.file_batches.items():
+            def rows(pid):
+                return jnp.stack([
+                    group_values[self._param_row[(p, pid)][0]]
+                    [self._param_row[(p, pid)][1]] for p in batch.paths
+                ])
+            stops = jnp.asarray([inputs["stops"][p][0] for p in batch.paths])
+            kills = jnp.asarray([inputs["stops"][p][1] for p in batch.paths])
+            extra = inputs.get("extra", {})
+            sflag = jnp.asarray([
+                extra.get(p, {}).get("_seek_flag", np.float32(0.0))
+                for p in batch.paths])
+            spos = jnp.asarray([
+                extra.get(p, {}).get("_seek_pos", np.float32(0.0))
+                for p in batch.paths])
+            nb_state, out = batch.render(
+                state["file_batches"][gid], frame0, rows("VOLU"), rows("PANN"),
+                rows("SPED"), stops, kills, sflag, spos,
+            )
+            new_batches[gid] = nb_state
+            for i, p in enumerate(batch.paths):
+                batch_out[p] = out[i]
+
         def render_mixer(m: Mixer, prefix: str):
             acc = jnp.zeros((self.ctx.channels, self.ctx.block_frames), self.config.dtype)
             me = f"{prefix}{m.name}"
@@ -311,6 +367,10 @@ class RenderProgram:
                 acc = acc + render_mixer(child, f"{me}/")
             for s in m.sources:
                 path = f"{me}/{s.name}"
+                if path in self._batched_row:
+                    new_nodes[path] = state["nodes"][path]
+                    acc = acc + batch_out[path]
+                    continue
                 values = self._node_param_values(group_values, path, s)
                 values["_frame0"] = frame0
                 stop, kill = inputs["stops"][path]
@@ -332,7 +392,8 @@ class RenderProgram:
             return acc
 
         audio = render_mixer(self.root, "")
-        return {"nodes": new_nodes, "smoothers": new_smoothers}, audio
+        return {"nodes": new_nodes, "smoothers": new_smoothers,
+                "file_batches": new_batches}, audio
 
     # ------------------------------------------------------------------
     # rendering
