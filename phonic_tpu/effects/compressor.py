@@ -142,7 +142,7 @@ class CompressorEffect(Effect):
             return env, env
 
         xs = tuple(jnp.broadcast_to(v, (n,)) for v in (input_db, attack_c, release_c))
-        env_end, envelope = jax.lax.scan(step, state["env"], xs, unroll=16)
+        env_end, envelope = jax.lax.scan(step, state["env"], xs, unroll=64)
 
         slope = jnp.where(is_limiter, 1.0, 1.0 - 1.0 / jnp.maximum(ratio, 1.0))
         t = threshold

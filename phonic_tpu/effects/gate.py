@@ -89,7 +89,7 @@ class GateEffect(Effect):
             for v in (input_db, threshold, range_db, attack_c, release_c, hold_samples)
         )
         (env, hold, gain_db), gains_db = jax.lax.scan(
-            step, (state["env"], state["hold"], state["gain_db"]), xs, unroll=16
+            step, (state["env"], state["hold"], state["gain_db"]), xs, unroll=64
         )
         gain = jnp.where(gains_db <= -60.0, 0.0, jnp.exp(gains_db / _LN10_20))
         gain = jnp.where(gains_db == 0.0, 1.0, gain)  # exact unity when open

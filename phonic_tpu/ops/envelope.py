@@ -27,7 +27,7 @@ def follower_coef(time_secs, sample_rate: int):
     return jnp.where(t > 0.0, jnp.exp(-1.0 / jnp.maximum(t * float(sample_rate), 1e-9)), 0.0)
 
 
-def follower_block(y0, x, attack_coef, release_coef, axis: int = -1, unroll: int = 8):
+def follower_block(y0, x, attack_coef, release_coef, axis: int = -1, unroll: int = 64):
     """Run the follower over a block.  x: samples along ``axis`` with any
     leading batch dims; y0: state shaped like x without the sample axis.
     Returns (y_end, y)."""
