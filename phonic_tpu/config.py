@@ -48,6 +48,9 @@ class EngineConfig:
     max_events_per_block: int = 16
     # render homogeneous FileSources as vmapped lane banks (graph/batching.py)
     batch_sources: bool = True
+    # emit per-mixer peak/RMS levels from the block step (fused reductions;
+    # the reference meters every mixer, src/source/metered.rs)
+    meter_mixers: bool = False
     # dtype used for audio samples.
     dtype: jnp.dtype = jnp.float32
     # dtype used for recursive filter state / associative scans.  float32 is

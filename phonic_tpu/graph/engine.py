@@ -360,6 +360,8 @@ class RenderProgram:
             for i, p in enumerate(batch.paths):
                 batch_out[p] = out[i]
 
+        mixer_levels = {}
+
         def render_mixer(m: Mixer, prefix: str):
             acc = jnp.zeros((self.ctx.channels, self.ctx.block_frames), self.config.dtype)
             me = f"{prefix}{m.name}"
@@ -389,11 +391,20 @@ class RenderProgram:
                     values[k] = jnp.asarray(v)
                 ns, acc = e.process(state["nodes"][path], acc, values, self.ctx)
                 new_nodes[path] = ns
+            # per-mixer metering (reference: MeteredSource on every mixer,
+            # src/player.rs:444-459): fused reductions, nearly free
+            mixer_levels[me] = (
+                jnp.max(jnp.abs(acc), axis=-1),
+                jnp.sqrt(jnp.mean(jnp.square(acc), axis=-1)),
+            )
             return acc
 
         audio = render_mixer(self.root, "")
-        return {"nodes": new_nodes, "smoothers": new_smoothers,
-                "file_batches": new_batches}, audio
+        new_state = {"nodes": new_nodes, "smoothers": new_smoothers,
+                     "file_batches": new_batches}
+        if self.config.meter_mixers:
+            return new_state, (audio, mixer_levels)
+        return new_state, audio
 
     # ------------------------------------------------------------------
     # rendering
@@ -416,6 +427,10 @@ class RenderProgram:
                 raise ValueError(
                     "graph has endless sources; pass an explicit duration"
                 )
+        if self.config.meter_mixers:
+            raise ValueError(
+                "offline render() does not support meter_mixers; use the "
+                "Player pump or a plain config")
         n = self.ctx.block_frames
         num_blocks = max((duration_frames + n - 1) // n, 1)
         state = state if state is not None else self.init_state()

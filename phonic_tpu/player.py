@@ -169,7 +169,7 @@ class MixerHandle:
         return self._player.cpu_load()
 
     def audio_level(self) -> AudioLevel:
-        return self._player.audio_level()
+        return self._player.mixer_audio_level(self.mixer)
 
 
 class Player:
@@ -182,6 +182,7 @@ class Player:
             channels=channels,
             block_frames=self.config.block_frames,
             max_events_per_block=self.config.max_events_per_block,
+            meter_mixers=True,
         )
         self.main_mixer = Mixer("main")
         # master gain (the analog of the player's smoothed master volume,
@@ -200,6 +201,7 @@ class Player:
         # non-finite master block is replaced by silence and reported once
         self.panic_handler = None
         self._panicked = False
+        self._mixer_levels: dict = {}
         # playback status events (reference: status proxy thread,
         # src/player.rs:1135-1176) — delivered per pumped block
         self.status_handler = None
@@ -325,6 +327,13 @@ class Player:
     def audio_level(self) -> AudioLevel:
         return self._level
 
+    def mixer_audio_level(self, mixer: Mixer) -> AudioLevel:
+        """Per-mixer peak/RMS (reference: MixerHandle::audio_level)."""
+        for path, kind, obj in self.main_mixer.walk():
+            if obj is mixer:
+                return self._mixer_levels.get(path, self._level)
+        raise NotFoundError(f"mixer {mixer.name!r} not in graph")
+
     # ------------------------------------------------------------------
     # transport: the render pump
     # ------------------------------------------------------------------
@@ -334,7 +343,12 @@ class Player:
         prog = self._ensure_program()
         t0 = time.perf_counter()
         block_index = self._position // prog.ctx.block_frames
-        self._state, audio = prog._jit_step(self._state, prog.block_inputs(block_index))
+        self._state, out = prog._jit_step(self._state, prog.block_inputs(block_index))
+        audio, mixer_levels = out
+        self._mixer_levels = {
+            path: AudioLevel(np.asarray(pk), np.asarray(rm))
+            for path, (pk, rm) in mixer_levels.items()
+        }
         audio = np.asarray(audio)
         if not np.isfinite(audio).all():
             audio = np.zeros_like(audio)

@@ -177,3 +177,18 @@ def test_no_recompiles_in_steady_state():
     for _ in range(8):
         player.render_block()
     assert prog.jit_cache_size() == size0 == 1
+
+
+def test_per_mixer_metering():
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    sub_loud = player.add_mixer()
+    sub_quiet = player.add_mixer()
+    player.play_file(tone_buffer(frames=20000), FilePlaybackOptions(
+        volume=1.0, fade_out_secs=0.0), mixer=sub_loud.mixer)
+    player.play_file(tone_buffer(frames=20000), FilePlaybackOptions(
+        volume=0.05, fade_out_secs=0.0), mixer=sub_quiet.mixer)
+    player.run(duration_frames=8192)
+    loud = sub_loud.audio_level()
+    quiet = sub_quiet.audio_level()
+    assert loud.peak.max() > 5 * quiet.peak.max()
+    assert np.all(loud.rms >= quiet.rms)
