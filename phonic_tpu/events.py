@@ -4,9 +4,17 @@ The reference delivers control changes through lock-free queues drained at
 block boundaries, then splits the render block at event sample times
 (src/source/mixed.rs:659-719).  The TPU engine instead *lowers* each
 parameter's scheduled events into fixed-shape per-block segment tensors
-(`SegmentEvents`: times[K] + values[K]) consumed by the closed-form
-smoothers in ops/smoothing.py — sample-accurate automation with static
-shapes and no per-sample control flow.
+(`SegmentEvents`: times[K] + values[K] + ramps[K]) consumed by the
+closed-form smoothers in ops/smoothing.py — sample-accurate automation with
+static shapes and no per-sample control flow.
+
+An event may be flagged as a *ramp*: the parameter then interpolates
+linearly from its previous value, reaching the event's value exactly at the
+event time.  Speed glides (reference: src/source/file/common.rs:141-163,
+a semitones-per-second ramp recomputed every 64 frames) lower to a chain of
+ramp knots on an absolute 512-frame grid, so each knot's value matches the
+reference staircase exactly and ramps never straddle block boundaries (all
+block sizes in use are multiples of 512).
 
 If a block receives more than K events, the earliest K-1 are kept plus the
 final one, so the end-of-block state is always exact; intermediate
@@ -18,51 +26,119 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
+import math
 
 import numpy as np
+
+# Glide knots land on this absolute frame grid; every EngineConfig
+# block_frames in use is a multiple, so ramps never span two blocks.
+GLIDE_KNOT_FRAMES = 512
+
+# The reference recomputes gliding speeds every 64 output frames
+# (src/source/file/common.rs:56 SPEED_UPDATE_CHUNK_SIZE).
+GLIDE_CHUNK_FRAMES = 64
 
 
 @dataclasses.dataclass
 class ParamTimeline:
-    """Sorted (sample_time, value) automation for one parameter."""
+    """Sorted (sample_time, value[, ramp]) automation for one parameter."""
 
     initial: float
     times: list = dataclasses.field(default_factory=list)
     values: list = dataclasses.field(default_factory=list)
+    ramps: list = dataclasses.field(default_factory=list)
 
-    def set_at(self, sample_time: int, value: float):
+    def set_at(self, sample_time: int, value: float, ramp: bool = False):
         """Schedule a target change at an absolute sample time.  Events at
-        duplicate times overwrite in arrival order (stable)."""
+        duplicate times overwrite in arrival order (stable).  ``ramp=True``
+        interpolates linearly from the previous value, arriving exactly at
+        ``sample_time``."""
         i = bisect.bisect_right(self.times, sample_time)
         self.times.insert(i, int(sample_time))
         self.values.insert(i, float(value))
+        self.ramps.insert(i, bool(ramp))
 
     def value_at(self, sample_time: int) -> float:
-        """Target value in effect at (just before) ``sample_time``."""
-        i = bisect.bisect_right(self.times, int(sample_time) - 1)
-        return self.values[i - 1] if i > 0 else self.initial
+        """Value in effect at (just before) ``sample_time``; interpolates
+        inside ramp segments."""
+        t = int(sample_time)
+        i = bisect.bisect_right(self.times, t - 1)
+        base = self.values[i - 1] if i > 0 else self.initial
+        if i < len(self.times) and self.ramps[i]:
+            t0 = self.times[i - 1] if i > 0 else 0
+            t1 = self.times[i]
+            if t1 > t0:
+                f = min(max((t - t0) / (t1 - t0), 0.0), 1.0)
+                return base + (self.values[i] - base) * f
+        return base
+
+    def set_glide_at(self, sample_time: int, target: float, rate: float,
+                     sample_rate: int):
+        """Glide toward ``target`` at ``rate`` semitones/second starting at
+        ``sample_time``, replaying the reference's per-64-frame recompute
+        (src/source/file/preloaded.rs:182-193 + common.rs:141-163) on the
+        host and lowering it as ramp knots every GLIDE_KNOT_FRAMES."""
+        t = int(sample_time)
+        target = float(target)
+        rate = float(rate)
+        current = float(self.value_at(t))
+        if rate <= 0.0 or current <= 0.0 or target <= 0.0 or (
+            abs(target - current) <= 1e-4
+        ):
+            self.set_at(t, target)
+            return
+        # anchor the ramp start so the first knot lerps from `current`
+        self.set_at(t, current)
+        c = current
+        chunk = 0  # relative start frame of the chunk being computed; the
+        # reference updates speed at chunk START, so the value computed here
+        # is in effect during [chunk, chunk + 64)
+        last_knot = -1
+        while abs(target - c) > 1e-4:
+            semitones = abs(12.0 * math.log2(target / c))
+            dur_frames = semitones / rate * float(sample_rate)
+            if dur_frames <= 0.0:
+                c = target
+            else:
+                step = (target - c) / dur_frames * GLIDE_CHUNK_FRAMES
+                c = target if abs(target - c) < abs(step) else c + step
+            if chunk > 0 and chunk % GLIDE_KNOT_FRAMES == 0:
+                self.set_at(t + chunk, c, ramp=True)
+                last_knot = chunk
+            chunk += GLIDE_CHUNK_FRAMES
+            if chunk > (1 << 30):  # unreachable safety net
+                break
+        reached = max(chunk - GLIDE_CHUNK_FRAMES, 0)
+        if reached != last_knot:
+            self.set_at(t + reached, target, ramp=True)
 
     def lower_block(self, block_start: int, block_len: int, max_events: int):
-        """-> (times int32[K], values float32[K]) with in-block frame offsets;
-        unused slots padded with time == block_len."""
+        """-> (times int32[K], values float32[K], ramps float32[K]) with
+        in-block frame offsets; unused slots padded with time == block_len."""
         lo = bisect.bisect_left(self.times, block_start)
         hi = bisect.bisect_left(self.times, block_start + block_len)
         times = self.times[lo:hi]
         values = self.values[lo:hi]
+        ramps = self.ramps[lo:hi]
         if len(times) > max_events:
             times = times[: max_events - 1] + [times[-1]]
             values = values[: max_events - 1] + [values[-1]]
+            ramps = ramps[: max_events - 1] + [ramps[-1]]
         out_t = np.full(max_events, block_len, np.int32)
         out_v = np.zeros(max_events, np.float32)
+        out_r = np.zeros(max_events, np.float32)
         out_t[: len(times)] = np.asarray(times, np.int64) - block_start
         out_v[: len(values)] = values
-        return out_t, out_v
+        out_r[: len(ramps)] = ramps
+        return out_t, out_v, out_r
 
     def lower_all(self, num_blocks: int, block_len: int, max_events: int):
         """Stacked lowering for offline scan-over-blocks renders:
-        -> (times int32[B, K], values float32[B, K])."""
+        -> (times int32[B, K], values float32[B, K], ramps float32[B, K])."""
         ts = np.empty((num_blocks, max_events), np.int32)
         vs = np.empty((num_blocks, max_events), np.float32)
+        rs = np.empty((num_blocks, max_events), np.float32)
         for b in range(num_blocks):
-            ts[b], vs[b] = self.lower_block(b * block_len, block_len, max_events)
-        return ts, vs
+            ts[b], vs[b], rs[b] = self.lower_block(
+                b * block_len, block_len, max_events)
+        return ts, vs, rs

@@ -41,8 +41,10 @@ from ..sources.file import FileSource
 NEVER = np.iinfo(np.int32).max
 
 
-def _step_targets(current, events: smoothing.SegmentEvents, n: int):
-    """Un-smoothed (stepped) per-sample targets for smoothing=None params."""
+def _step_targets(current, events: smoothing.SegmentEvents, ramps, n: int):
+    """Un-smoothed per-sample targets for smoothing=None params: stepped at
+    event times, or linearly interpolated across a segment when the event
+    ending it is flagged as a ramp (speed glides, events.py)."""
     seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), events.times])
     valid = seg_start < n
     raw = jnp.concatenate([current[None], events.values])
@@ -55,7 +57,17 @@ def _step_targets(current, events: smoothing.SegmentEvents, n: int):
     _, seg_vals = jax.lax.scan(carry, raw[0], (raw, valid), unroll=True)
     idx = jnp.arange(n, dtype=jnp.int32)
     seg_of = jnp.searchsorted(seg_start, idx, side="right") - 1
-    return seg_vals[-1], seg_vals[seg_of]
+    base = seg_vals[seg_of]
+    # ramp events lerp across the segment they terminate, landing exactly
+    # on the event value at the event time
+    pad_t = jnp.full((1,), n, jnp.int32)
+    seg_end = jnp.concatenate([events.times, pad_t])[seg_of]
+    ramp_on = jnp.concatenate([ramps, jnp.zeros((1,), ramps.dtype)])[seg_of]
+    tgt = jnp.concatenate([events.values, jnp.zeros((1,), raw.dtype)])[seg_of]
+    t0 = seg_start[seg_of].astype(jnp.float32)
+    span = jnp.maximum(jnp.minimum(seg_end, n).astype(jnp.float32) - t0, 1.0)
+    frac = (idx.astype(jnp.float32) - t0) / span
+    return seg_vals[-1], jnp.where(ramp_on > 0, base + (tgt - base) * frac, base)
 
 
 class RenderProgram:
@@ -185,6 +197,17 @@ class RenderProgram:
         raw = desc.clamp(value)
         self.timelines[(path, pid)].set_at(at_frame, float(raw))
 
+    def set_parameter_glide(self, node, pid: str, value, rate: float,
+                            at_frame: int = 0):
+        """Like set_parameter but ramping at ``rate`` semitones/second
+        (reference: FilePlaybackHandle::set_speed's glide argument,
+        src/player/handles/file.rs:150-176)."""
+        path = self._resolve(node)
+        desc = self.nodes[path].param(pid)
+        raw = desc.clamp(value)
+        self.timelines[(path, pid)].set_glide_at(
+            at_frame, float(raw), float(rate), self.ctx.sample_rate)
+
     def stop_source(self, source, at_frame: int = 0, kill: bool = False):
         """Schedule a stop (with the source's fade-out) or kill (hard cut)."""
         path = self._resolve(source)
@@ -263,13 +286,14 @@ class RenderProgram:
         start = block_index * n
         params = {}
         for key, pps in self._param_groups.items():
-            ts, vs = [], []
+            ts, vs, rs = [], [], []
             for path, pid in pps:
-                t, v = self.timelines[(path, pid)].lower_block(
+                t, v, r = self.timelines[(path, pid)].lower_block(
                     start, n, self.ctx.max_events)
                 ts.append(t)
                 vs.append(v)
-            params[key] = (np.stack(ts), np.stack(vs))
+                rs.append(r)
+            params[key] = (np.stack(ts), np.stack(vs), np.stack(rs))
         extra = {}
         for path, node in self.nodes.items():
             node_extra = node.lower_block_inputs(start, n)
@@ -299,7 +323,7 @@ class RenderProgram:
         group_values = {}
         for key in self._param_groups:
             kind, arg = key
-            t, v = inputs_params[key]
+            t, v, r = inputs_params[key]
             ev = smoothing.SegmentEvents(jnp.asarray(t), jnp.asarray(v))
             st = smoother_state[key]
             if kind == "exponential":
@@ -311,9 +335,11 @@ class RenderProgram:
                 omega = smoothing.spring_omega(arg)
                 fn = lambda s_, e_: smoothing.spring_smoother_block(
                     s_, e_, n, omega, self.ctx.sample_rate)
+            if kind is None or kind not in ("exponential", "linear", "spring"):
+                step_fn = lambda s_, e_, r_: _step_targets(s_, e_, r_, n)
+                new_st, vals = jax.vmap(step_fn)(st, ev, jnp.asarray(r))
             else:
-                fn = lambda s_, e_: _step_targets(s_, e_, n)
-            new_st, vals = jax.vmap(fn)(st, ev)
+                new_st, vals = jax.vmap(fn)(st, ev)
             new_states[key] = new_st
             group_values[key] = vals
         return new_states, group_values

@@ -116,8 +116,15 @@ class PlaybackHandle(_Handle):
     def set_panning(self, panning: float, at: Optional[int] = None):
         self.set_parameter("PANN", panning, at)
 
-    def set_speed(self, speed: float, at: Optional[int] = None):
-        self.set_parameter("SPED", speed, at)
+    def set_speed(self, speed: float, glide: Optional[float] = None,
+                  at: Optional[int] = None):
+        """Set playback speed; with ``glide`` (semitones/second) the speed
+        ramps toward the target like the reference's glided set_speed
+        (src/player/handles/file.rs:150-176)."""
+        if glide is None or glide <= 0.0:
+            self.set_parameter("SPED", speed, at)
+        else:
+            self._player._set_parameter_glide(self._node, "SPED", speed, glide, at)
 
     def seek(self, to_source_frame: float, at: Optional[int] = None):
         """Seek a file source (reference: FilePlaybackHandle::seek)."""
@@ -291,6 +298,14 @@ class Player:
             self._pending.append(lambda p: p.set_parameter(node, pid, value, when))
         else:
             self._program.set_parameter(node, pid, value, when)
+
+    def _set_parameter_glide(self, node, pid, value, rate, at):
+        when = self._when(at)
+        if self._program is None:
+            self._pending.append(
+                lambda p: p.set_parameter_glide(node, pid, value, rate, when))
+        else:
+            self._program.set_parameter_glide(node, pid, value, rate, when)
 
     def _stop_source(self, node, at, kill=False):
         when = self._when(at)
