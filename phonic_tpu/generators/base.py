@@ -32,11 +32,13 @@ class GeneratorPlaybackOptions:
 @dataclasses.dataclass
 class NoteEvent:
     time: int  # absolute output frame
-    kind: str  # "on" | "off" | "all_off"
+    kind: str  # "on" | "off" | "all_off" | "set_vol" | "set_pan" | "set_spd"
     note: int = 60
     note_id: int = 0
     volume: float = 1.0
     panning: float = 0.0
+    value: float = 0.0  # set_* target value
+    glide: Optional[float] = None  # semitones/sec for set_spd
 
 
 class Generator(Source):
@@ -63,3 +65,22 @@ class Generator(Source):
 
     def all_notes_off(self, time: int = 0):
         self.events.append(NoteEvent(int(time), "all_off"))
+
+    def set_note_volume(self, note_id: int, volume: float, time: int = 0):
+        """Per-note volume (composes with base volume; reference:
+        GeneratorPlaybackEvent::SetVolume, sampler voice.rs:270-279)."""
+        self.events.append(NoteEvent(int(time), "set_vol", note_id=note_id,
+                                     value=float(volume)))
+
+    def set_note_panning(self, note_id: int, panning: float, time: int = 0):
+        """Per-note panning (adds to base, clamped; voice.rs:291-300)."""
+        self.events.append(NoteEvent(int(time), "set_pan", note_id=note_id,
+                                     value=float(panning)))
+
+    def set_note_speed(self, note_id: int, speed: float,
+                       glide: Optional[float] = None, time: int = 0):
+        """Per-note playback speed, replacing the note-derived pitch ratio;
+        with ``glide`` the speed ramps at that many semitones/second
+        (reference: GeneratorPlaybackEvent::SetSpeed, voice.rs:238-254)."""
+        self.events.append(NoteEvent(int(time), "set_spd", note_id=note_id,
+                                     value=float(speed), glide=glide))

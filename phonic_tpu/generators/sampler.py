@@ -37,7 +37,9 @@ from ..graph.nodes import BuildCtx
 from ..io.decoder import AudioFileBuffer
 from ..ops import ahdsr as ahdsr_ops
 from ..ops import resample as rs
+from ..events import ParamTimeline
 from ..ops.convert import panning_factors
+from ..ops.smoothing import SegmentEvents, step_targets
 from ..params import DecibelScaling, ExponentialScaling, FloatParameter, IntegerParameter, format_gain, format_pan
 from .base import Generator, GeneratorPlaybackOptions
 from .granular import (
@@ -112,6 +114,15 @@ class _Segment:
     panning: float
     release: float = math.inf  # absolute frame of note-off
     cut: float = math.inf  # absolute frame where a steal hard-cuts the voice
+    # per-note automation (reference: GeneratorPlaybackEvent::SetVolume /
+    # SetPanning / SetSpeed, voice.rs:238-300); created lazily on first event
+    vol_tl: object = None
+    pan_tl: object = None
+    spd_tl: object = None
+
+    def speed0(self) -> float:
+        """Note-derived speed multiplier before automation."""
+        return 2.0 ** ((self.note - 60) / 12.0)
 
 
 class Sampler(Generator):
@@ -277,6 +288,26 @@ class Sampler(Generator):
                     for seg in segs:
                         if seg.start <= t and seg.release is math.inf:
                             seg.release = float(t)
+            elif ev.kind in ("set_vol", "set_pan", "set_spd"):
+                seg = by_id.get(ev.note_id)
+                if seg is None or t < seg.start:
+                    continue
+                if ev.kind == "set_vol":
+                    if seg.vol_tl is None:
+                        seg.vol_tl = ParamTimeline(initial=seg.volume)
+                    seg.vol_tl.set_at(t, ev.value)
+                elif ev.kind == "set_pan":
+                    if seg.pan_tl is None:
+                        seg.pan_tl = ParamTimeline(initial=seg.panning)
+                    seg.pan_tl.set_at(t, ev.value)
+                else:
+                    if seg.spd_tl is None:
+                        seg.spd_tl = ParamTimeline(initial=seg.speed0())
+                    if ev.glide and ev.glide > 0.0:
+                        seg.spd_tl.set_glide_at(t, ev.value, ev.glide,
+                                                sample_rate)
+                    else:
+                        seg.spd_tl.set_at(t, ev.value)
         self._plan_cache = ((len(self.events), sample_rate), voices)
         return voices
 
@@ -301,12 +332,31 @@ class Sampler(Generator):
             "_cont_pan": np.zeros(v, np.float32),
             "_cont_age0": np.zeros(v, np.int32),
             "_cont_rel": np.full(v, np.inf, np.float32),
+            "_cont_spd": np.ones(v, np.float32),
             "_trig_time": np.full(v, block_len, np.int32),
             "_trig_note": np.full(v, 60.0, np.float32),
             "_trig_vol": np.zeros(v, np.float32),
             "_trig_pan": np.zeros(v, np.float32),
             "_trig_rel": np.full(v, np.inf, np.float32),
+            "_trig_spd": np.ones(v, np.float32),
         }
+        # per-note automation events per lane (cont "ca" / trig "ta"),
+        # K knots per block so speed-glide ramps lower losslessly
+        ka = max(4, block_len // 512)
+        for lane in ("ca", "ta"):
+            for nm in ("vol", "pan", "spd"):
+                out[f"_{lane}_{nm}_t"] = np.full((v, ka), block_len, np.int32)
+                out[f"_{lane}_{nm}_v"] = np.zeros((v, ka), np.float32)
+                out[f"_{lane}_{nm}_r"] = np.zeros((v, ka), np.float32)
+
+        def _lower_auto(seg, lane, vi):
+            for nm, tl in (("vol", seg.vol_tl), ("pan", seg.pan_tl),
+                           ("spd", seg.spd_tl)):
+                if tl is not None:
+                    t_, v_, r_ = tl.lower_block(block_start, block_len, ka)
+                    out[f"_{lane}_{nm}_t"][vi] = t_
+                    out[f"_{lane}_{nm}_v"][vi] = v_
+                    out[f"_{lane}_{nm}_r"][vi] = r_
         if self.granular is not None:
             out["_mod_amt"] = self.modulation.amounts.copy()
             out["_mod_bip"] = self.modulation.bipolar.copy()
@@ -321,9 +371,14 @@ class Sampler(Generator):
             if cont is not None:
                 out["_cont_active"][vi] = 1.0
                 out["_cont_note"][vi] = cont.note
-                out["_cont_vol"][vi] = cont.volume
-                out["_cont_pan"][vi] = cont.panning
+                out["_cont_vol"][vi] = (cont.vol_tl.value_at(block_start)
+                                        if cont.vol_tl else cont.volume)
+                out["_cont_pan"][vi] = (cont.pan_tl.value_at(block_start)
+                                        if cont.pan_tl else cont.panning)
+                out["_cont_spd"][vi] = (cont.spd_tl.value_at(block_start)
+                                        if cont.spd_tl else cont.speed0())
                 out["_cont_age0"][vi] = block_start - cont.start
+                _lower_auto(cont, "ca", vi)
                 if cont.release is not math.inf:
                     out["_cont_rel"][vi] = cont.release - cont.start
                 # a cut without retrigger in this block: emulate via trig_time
@@ -334,8 +389,10 @@ class Sampler(Generator):
                 out["_trig_note"][vi] = trig.note
                 out["_trig_vol"][vi] = trig.volume
                 out["_trig_pan"][vi] = trig.panning
+                out["_trig_spd"][vi] = trig.speed0()
                 if trig.release is not math.inf:
                     out["_trig_rel"][vi] = trig.release - trig.start
+                _lower_auto(trig, "ta", vi)
         return out
 
     # ------------------------------------------------------------------
@@ -424,10 +481,22 @@ class Sampler(Generator):
                 out = out.at[0].multiply(l).at[1].multiply(r)
             return out
 
+        def auto_vals(current, auto, lane_key, nm):
+            """Per-sample automated value from the per-voice event arrays
+            (reference applies SetVolume/SetPanning/SetSpeed sample-split;
+            here via the shared stepped/ramp evaluator)."""
+            ev = SegmentEvents(auto[f"_{lane_key}_{nm}_t"],
+                               auto[f"_{lane_key}_{nm}_v"])
+            return step_targets(current, ev, auto[f"_{lane_key}_{nm}_r"], n)[1]
+
         def render_voice(base0, frac0, c_act, c_note, c_vol, c_pan, c_age0,
-                         c_rel, t_time, t_note, t_vol, t_pan, t_rel):
+                         c_rel, c_spd, t_time, t_note, t_vol, t_pan, t_rel,
+                         t_spd, auto):
             # lane A: continuing note (carried position)
-            speed_a = pitch * jnp.exp2((c_note - 60.0) / 12.0) * np.float32(ratio)
+            vol_a = auto_vals(c_vol, auto, "ca", "vol")
+            pan_a = auto_vals(c_pan, auto, "ca", "pan")
+            spd_a = auto_vals(c_spd, auto, "ca", "spd")
+            speed_a = pitch * spd_a * np.float32(ratio)
             mask_a = (c_act > 0.5) & (ii < t_time)
             steps_a = jnp.where(mask_a, speed_a, 0.0)
             rel_a = jnp.cumsum(steps_a)
@@ -435,17 +504,20 @@ class Sampler(Generator):
                 [jnp.zeros((1,), jnp.float32), rel_a[:-1]]
             )
             age_a = c_age0 + ii
-            out = lane(c_note, c_vol, c_pan, age_a, c_rel, mask_a, pos_a)
+            out = lane(c_note, vol_a, pan_a, age_a, c_rel, mask_a, pos_a)
 
             # lane B: (re)triggered note, position restarts at 0
-            speed_b = pitch * jnp.exp2((t_note - 60.0) / 12.0) * np.float32(ratio)
+            vol_b = auto_vals(t_vol, auto, "ta", "vol")
+            pan_b = auto_vals(t_pan, auto, "ta", "pan")
+            spd_b = auto_vals(t_spd, auto, "ta", "spd")
+            speed_b = pitch * spd_b * np.float32(ratio)
             has_trig = t_time < n
             mask_b = (ii >= t_time) & has_trig & (t_vol > 0.0)
             steps_b = jnp.where(mask_b, speed_b, 0.0)
             rel_b = jnp.cumsum(steps_b)
             pos_b = jnp.concatenate([jnp.zeros((1,), jnp.float32), rel_b[:-1]])
             age_b = ii - t_time
-            out = out + lane(t_note, t_vol, t_pan, age_b, t_rel, mask_b, pos_b)
+            out = out + lane(t_note, vol_b, pan_b, age_b, t_rel, mask_b, pos_b)
 
             # end-of-block position state
             end_pos = jnp.where(mask_b[-1] | (has_trig & (t_vol > 0.0)),
@@ -453,12 +525,15 @@ class Sampler(Generator):
             new_base = jnp.floor(end_pos)
             return out, new_base.astype(jnp.int32), end_pos - new_base
 
+        auto = {k: jnp.asarray(v) for k, v in params.items()
+                if k.startswith(("_ca_", "_ta_"))}
         outs, new_base, new_frac = jax.vmap(render_voice)(
             state["base"], state["frac"],
             params["_cont_active"], params["_cont_note"], params["_cont_vol"],
             params["_cont_pan"], params["_cont_age0"], params["_cont_rel"],
-            params["_trig_time"], params["_trig_note"], params["_trig_vol"],
-            params["_trig_pan"], params["_trig_rel"],
+            params["_cont_spd"], params["_trig_time"], params["_trig_note"],
+            params["_trig_vol"], params["_trig_pan"], params["_trig_rel"],
+            params["_trig_spd"], auto,
         )
         mix = jnp.sum(outs, axis=0)  # [ch, n]
         return {"base": new_base, "frac": new_frac, "buf": buf}, mix
@@ -494,7 +569,8 @@ class Sampler(Generator):
         bip = jnp.asarray(params["_mod_bip"], jnp.float32)
 
         def render_voice(gr_state, c_act, c_note, c_vol, c_pan, c_age0, c_rel,
-                         t_time, t_note, t_vol, t_pan, t_rel, voice_idx):
+                         c_spd, t_time, t_note, t_vol, t_pan, t_rel, t_spd,
+                         voice_idx):
             has_trig = (t_time < n) & (t_vol > 0.0)
             in_b = i >= t_time
             age = jnp.where(in_b & has_trig, i - t_time, c_age0 + i)
@@ -509,7 +585,10 @@ class Sampler(Generator):
                 has_trig, frame0 + t_time,
                 jnp.where(c_act > 0.5, frame0 - c_age0, jnp.int32(NEVER)),
             )
-            speed = pitch * jnp.exp2((note - 60.0) / 12.0)
+            # per-note speed automation applies at block granularity for
+            # grains (the pool re-reads speed per trigger, granular.rs:504)
+            spd = jnp.where(in_b & has_trig, t_spd, c_spd)
+            speed = pitch * spd
             eff_vol = base_vol * nvol
             eff_pan = jnp.clip(base_pan + npan, -1.0, 1.0)
 
@@ -551,13 +630,14 @@ class Sampler(Generator):
 
         voice_idx = jnp.arange(self.options.voices, dtype=jnp.int32)
         grains, outs = jax.vmap(
-            render_voice, in_axes=(0,) + (0,) * 11 + (0,)
+            render_voice, in_axes=(0,) + (0,) * 13 + (0,)
         )(
             state["grains"],
             params["_cont_active"], params["_cont_note"], params["_cont_vol"],
             params["_cont_pan"], params["_cont_age0"], params["_cont_rel"],
-            params["_trig_time"], params["_trig_note"], params["_trig_vol"],
-            params["_trig_pan"], params["_trig_rel"], voice_idx,
+            params["_cont_spd"], params["_trig_time"], params["_trig_note"],
+            params["_trig_vol"], params["_trig_pan"], params["_trig_rel"],
+            params["_trig_spd"], voice_idx,
         )
         mix = jnp.sum(outs, axis=0)
         if ctx.channels == 1:

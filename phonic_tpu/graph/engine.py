@@ -41,33 +41,8 @@ from ..sources.file import FileSource
 NEVER = np.iinfo(np.int32).max
 
 
-def _step_targets(current, events: smoothing.SegmentEvents, ramps, n: int):
-    """Un-smoothed per-sample targets for smoothing=None params: stepped at
-    event times, or linearly interpolated across a segment when the event
-    ending it is flagged as a ramp (speed glides, events.py)."""
-    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), events.times])
-    valid = seg_start < n
-    raw = jnp.concatenate([current[None], events.values])
-
-    def carry(prev, xs):
-        v, ok = xs
-        cur = jnp.where(ok, v, prev)
-        return cur, cur
-
-    _, seg_vals = jax.lax.scan(carry, raw[0], (raw, valid), unroll=True)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    seg_of = jnp.searchsorted(seg_start, idx, side="right") - 1
-    base = seg_vals[seg_of]
-    # ramp events lerp across the segment they terminate, landing exactly
-    # on the event value at the event time
-    pad_t = jnp.full((1,), n, jnp.int32)
-    seg_end = jnp.concatenate([events.times, pad_t])[seg_of]
-    ramp_on = jnp.concatenate([ramps, jnp.zeros((1,), ramps.dtype)])[seg_of]
-    tgt = jnp.concatenate([events.values, jnp.zeros((1,), raw.dtype)])[seg_of]
-    t0 = seg_start[seg_of].astype(jnp.float32)
-    span = jnp.maximum(jnp.minimum(seg_end, n).astype(jnp.float32) - t0, 1.0)
-    frac = (idx.astype(jnp.float32) - t0) / span
-    return seg_vals[-1], jnp.where(ramp_on > 0, base + (tgt - base) * frac, base)
+# stepped-parameter evaluation lives in ops.smoothing.step_targets
+_step_targets = smoothing.step_targets
 
 
 class RenderProgram:

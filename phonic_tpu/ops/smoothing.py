@@ -342,3 +342,33 @@ def spring_smoother_block(
 
     new_state = SpringSmootherState(current=c_end, velocity=v_end, target=seg_tgt[-1])
     return new_state, out
+
+
+def step_targets(current, events: SegmentEvents, ramps, n: int):
+    """Un-smoothed per-sample targets for smoothing=None parameters: stepped
+    at event times, or linearly interpolated across a segment when the event
+    ending it is flagged as a ramp (speed glides, events.py).  Returns
+    (end_value, values[n])."""
+    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), events.times])
+    valid = seg_start < n
+    raw = jnp.concatenate([current[None], events.values])
+
+    def carry(cur, xs):
+        v, ok = xs
+        cur = jnp.where(ok, v, cur)
+        return cur, cur
+
+    _, seg_vals = jax.lax.scan(carry, raw[0], (raw, valid), unroll=True)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_of = jnp.searchsorted(seg_start, idx, side="right") - 1
+    base = seg_vals[seg_of]
+    # ramp events lerp across the segment they terminate, landing exactly
+    # on the event value at the event time
+    pad_t = jnp.full((1,), n, jnp.int32)
+    seg_end = jnp.concatenate([events.times, pad_t])[seg_of]
+    ramp_on = jnp.concatenate([ramps, jnp.zeros((1,), ramps.dtype)])[seg_of]
+    tgt = jnp.concatenate([events.values, jnp.zeros((1,), raw.dtype)])[seg_of]
+    t0 = seg_start[seg_of].astype(jnp.float32)
+    span = jnp.maximum(jnp.minimum(seg_end, n).astype(jnp.float32) - t0, 1.0)
+    frac = (idx.astype(jnp.float32) - t0) / span
+    return seg_vals[-1], jnp.where(ramp_on > 0, base + (tgt - base) * frac, base)

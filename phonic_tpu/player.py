@@ -147,6 +147,23 @@ class GeneratorPlaybackHandle(_Handle):
     def all_notes_off(self, at: Optional[int] = None):
         self._node.all_notes_off(self._player._when(at))
 
+    def set_note_volume(self, note_id: int, volume: float,
+                        at: Optional[int] = None):
+        """Per-note volume (reference: generator.rs set_note_volume)."""
+        self._node.set_note_volume(note_id, volume, self._player._when(at))
+
+    def set_note_panning(self, note_id: int, panning: float,
+                         at: Optional[int] = None):
+        self._node.set_note_panning(note_id, panning, self._player._when(at))
+
+    def set_note_speed(self, note_id: int, speed: float,
+                       glide: Optional[float] = None,
+                       at: Optional[int] = None):
+        """Per-note speed; with ``glide`` ramps at semitones/second
+        (reference: GeneratorPlaybackEvent::SetSpeed)."""
+        self._node.set_note_speed(note_id, speed, glide,
+                                  self._player._when(at))
+
     def set_modulation(self, source: str, target: str, amount: float,
                        bipolar: bool = True):
         self._node.set_modulation(source, target, amount, bipolar)
