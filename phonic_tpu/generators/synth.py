@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..graph.nodes import BuildCtx
 from ..ops.convert import panning_factors
+from ..ops.smoothing import SegmentEvents, step_targets
 from ..params import DecibelScaling, FloatParameter, format_gain, format_pan
 from ..sources.synth import SynthContext, SynthDef
 from .base import Generator, GeneratorPlaybackOptions
@@ -100,14 +101,30 @@ class SynthGenerator(Generator):
         base_pan = params[PANNING.id]
         glide = self.glide_secs
 
+        def auto_vals(current, auto, lane_key, nm):
+            ev = SegmentEvents(auto[f"_{lane_key}_{nm}_t"],
+                               auto[f"_{lane_key}_{nm}_v"])
+            return step_targets(current, ev, auto[f"_{lane_key}_{nm}_r"], n)[1]
+
         def render_voice(syn_state, c_act, c_note, c_vol, c_pan, c_age0, c_rel,
-                         t_time, t_note, t_vol, t_pan, t_rel):
+                         c_spd, t_time, t_note, t_vol, t_pan, t_rel, t_spd,
+                         auto):
             has_trig = (t_time < n) & (t_vol > 0.0)
             in_b = (i >= t_time) & has_trig
             age = jnp.where(in_b, i - t_time, c_age0 + i)
             note = jnp.where(in_b, t_note, c_note)
-            vel = jnp.where(in_b, t_vol, c_vol)
-            npan = jnp.where(in_b, t_pan, c_pan)
+            # per-note automation (reference: fundsp voice set_volume /
+            # set_panning / set_speed with glide, fundsp/voice.rs:312-380)
+            vel = jnp.where(in_b, auto_vals(t_vol, auto, "ta", "vol"),
+                            auto_vals(c_vol, auto, "ca", "vol"))
+            npan = jnp.where(in_b, auto_vals(t_pan, auto, "ta", "pan"),
+                             auto_vals(c_pan, auto, "ca", "pan"))
+            # speed arrays carry the absolute multiplier (initial
+            # 2^((note-60)/12)); normalising by that makes freq_mult == 1
+            # exactly when unautomated
+            spd = jnp.where(in_b, auto_vals(t_spd, auto, "ta", "spd"),
+                            auto_vals(c_spd, auto, "ca", "spd"))
+            freq_mult = spd / jnp.exp2((note - 60.0) / 12.0)
             rel = jnp.where(in_b, t_rel, c_rel)
             active = jnp.where(in_b, True, c_act > 0.5)
             gate = (active & (age.astype(jnp.float32) < rel) & (age >= 0)).astype(jnp.float32)
@@ -120,6 +137,7 @@ class SynthGenerator(Generator):
                 freq = note_to_hz(jnp.where(has_trig & (c_act > 0.5), pitch, note))
             else:
                 freq = note_to_hz(note)
+            freq = freq * freq_mult
 
             sctx = SynthContext(freq=freq, gate=gate, velocity=vel, age=age,
                                 release_age=rel, sample_rate=ctx.sample_rate,
@@ -134,11 +152,14 @@ class SynthGenerator(Generator):
                 audio = audio.at[0].multiply(l).at[1].multiply(r)
             return syn_state, audio
 
+        auto = {k: jnp.asarray(v) for k, v in params.items()
+                if k.startswith(("_ca_", "_ta_"))}
         synth_states, outs = jax.vmap(render_voice)(
             state["synth"],
             params["_cont_active"], params["_cont_note"], params["_cont_vol"],
             params["_cont_pan"], params["_cont_age0"], params["_cont_rel"],
-            params["_trig_time"], params["_trig_note"], params["_trig_vol"],
-            params["_trig_pan"], params["_trig_rel"],
+            params["_cont_spd"], params["_trig_time"], params["_trig_note"],
+            params["_trig_vol"], params["_trig_pan"], params["_trig_rel"],
+            params["_trig_spd"], auto,
         )
         return {"synth": synth_states}, jnp.sum(outs, axis=0)

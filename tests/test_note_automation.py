@@ -102,3 +102,26 @@ def test_automation_for_unknown_note_id_is_ignored():
     s.set_note_volume(999999, 0.0, time=100)  # no such note
     out = render(s, N)
     assert out[0][101] == pytest.approx(out[0][0])
+
+
+def test_synth_note_speed_glide_shifts_frequency():
+    from phonic_tpu.generators.synth import SynthGenerator
+    from phonic_tpu.synths import organ
+
+    g = SynthGenerator(organ(), release_secs=0.05)
+    nid = g.note_on(69, volume=1.0, time=0)  # A4 = 440 Hz
+    g.set_note_speed(nid, 2.0 ** (12.0 / 12.0 + 9.0 / 12.0), time=4 * N)
+    # absolute multiplier rel. note 60: A4 speed0 = 2^(9/12); doubling it
+    # targets 880 Hz
+    main = Mixer("main")
+    main.add_source(g)
+    prog = RenderProgram(main, CFG)
+    out = np.asarray(prog.render(duration_frames=8 * N))
+
+    def zc(seg):
+        return np.sum((seg[:-1] < 0) & (seg[1:] >= 0)) / (len(seg) / SR)
+
+    f_before = zc(out[0, 2 * N : 4 * N])
+    f_after = zc(out[0, 5 * N : 7 * N])
+    assert abs(f_before - 440.0) < 15.0, f_before
+    assert abs(f_after - 880.0) < 25.0, f_after
