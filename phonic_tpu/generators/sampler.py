@@ -146,6 +146,7 @@ class Sampler(Generator):
         self.granular: Optional[GranularConfig] = None
         self.modulation = ModulationRoutings()
         self.seed = 0x6A17
+        self._loop_msgs: list = []  # (time, Optional[(start, end)])
         self._plan_cache = None
         self._mono_cache = None
         self.PARAMS = Sampler.PARAMS  # may be extended by with_granular_playback
@@ -170,6 +171,38 @@ class Sampler(Generator):
         self.granular = config or GranularConfig()
         self.PARAMS = Sampler.PARAMS + GRANULAR_PARAMS
         return self
+
+    def set_loop_range(self, loop_range, time: int = 0):
+        """SamplerMessage::SetLoopRange (reference: sampler.rs:51-55,
+        validated + applied at :1246-1270): change or disable looping at
+        runtime.  Applies at block granularity, like the reference's
+        message-queue drain.  ``loop_range`` is (start, end) in source
+        frames or None to disable looping."""
+        if loop_range is not None:
+            start, end = int(loop_range[0]), int(loop_range[1])
+            frames = self.buffer.frames
+            if not (0 <= start < frames and start < end <= frames):
+                raise ValueError(
+                    f"Invalid loop range {loop_range!r}; loop must be in "
+                    f"range 0..{frames}")
+            loop_range = (start, end)
+        self._loop_msgs.append((int(time), loop_range))
+
+    def handle_message(self, message):
+        """Generic message hook: accepts ('set_loop_range', range) tuples or
+        a bare range/None (reference: Generator::process_message)."""
+        if isinstance(message, tuple) and len(message) == 2 and                 message[0] == "set_loop_range":
+            self.set_loop_range(message[1])
+        else:
+            self.set_loop_range(message)
+
+    def _loop_at(self, t: int):
+        """Loop range in effect at output frame ``t``."""
+        current = self.buffer.loop_range
+        for mt, rng in sorted(self._loop_msgs, key=lambda m: m[0]):
+            if mt <= t:
+                current = rng
+        return current
 
     def set_modulation(self, source: str, target: str, amount: float,
                        bipolar: bool = True):
@@ -360,6 +393,12 @@ class Sampler(Generator):
         if self.granular is not None:
             out["_mod_amt"] = self.modulation.amounts.copy()
             out["_mod_bip"] = self.modulation.bipolar.copy()
+        if getattr(self, "buffer", None) is not None:
+            rng = self._loop_at(block_start)
+            out["_loop_on"] = np.float32(0.0 if rng is None else 1.0)
+            out["_loop_start"] = np.float32(0.0 if rng is None else rng[0])
+            out["_loop_end"] = np.float32(
+                self.buffer.frames if rng is None else rng[1])
         for vi, segs in enumerate(voices):
             cont = None
             trig = None
@@ -442,16 +481,21 @@ class Sampler(Generator):
         base_pan = params[PANNING.id]
         env_p = self._envelope_params(params) if self.envelope is not None else None
 
-        loop = self.buffer.loop_range
         fade_log1m = math.log1p(-(1.0 - math.exp(
             -1.0 / max(sr * self.options.fade_out_secs / math.log(100.0), 1e-9)
         )))
 
+        # loop bounds are traced per-block scalars so SetLoopRange messages
+        # change or disable looping without recompiling
+        loop_on = params["_loop_on"] > 0.5
+        loop_s = params["_loop_start"]
+        loop_e = params["_loop_end"]
+
         def fold(pos):
-            if loop is not None:
-                return rs.loop_fold(pos, float(loop[0]), float(loop[1]),
-                                    self.buffer.loop_mode), jnp.ones_like(pos, bool)
-            return pos, pos < float(frames)
+            folded = rs.loop_fold(pos, loop_s, loop_e, self.buffer.loop_mode)
+            p = jnp.where(loop_on, folded, pos)
+            live = loop_on | (pos < float(frames))
+            return p, live
 
         def lane(note, vol, pan, age, rel, mask, pos):
             """Render one lane: positions [n] (source frames), age [n] runs,

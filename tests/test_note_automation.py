@@ -125,3 +125,32 @@ def test_synth_note_speed_glide_shifts_frequency():
     f_after = zc(out[0, 5 * N : 7 * N])
     assert abs(f_before - 440.0) < 15.0, f_before
     assert abs(f_after - 880.0) < 25.0, f_after
+
+
+def test_set_loop_range_at_runtime():
+    """SamplerMessage::SetLoopRange (reference sampler.rs:1246-1270):
+    enable a loop mid-playback on a non-looping buffer, then disable it."""
+    frames = 8 * N
+    s = Sampler(ramp_buffer(frames))
+    s.note_on(60, volume=1.0, time=0)
+    s.set_loop_range((1000, 2000), time=N)       # loop on from block 1
+    s.set_loop_range(None, time=5 * N)           # loop off from block 5
+    out = render(s, 8 * N)
+    pos = out[0] * SR
+    # block 0: linear read
+    assert pos[N - 1] == pytest.approx(N - 1, abs=0.5)
+    # blocks 1-4: position folded into [1000, 2000)
+    mid = pos[2 * N : 5 * N]
+    assert mid.min() >= 999.0 and mid.max() < 2000.5
+    # after disabling, position escapes the loop and keeps increasing
+    tail = pos[6 * N : 7 * N]
+    assert tail[-1] > 2000.0
+    assert np.all(np.diff(tail) > 0.5)
+
+
+def test_set_loop_range_validation():
+    s = Sampler(ramp_buffer(1000))
+    with pytest.raises(ValueError):
+        s.set_loop_range((500, 2000))
+    with pytest.raises(ValueError):
+        s.set_loop_range((-5, 100))
