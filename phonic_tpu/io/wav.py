@@ -133,6 +133,49 @@ def _parse(data: bytes, info_only: bool):
     return x, info
 
 
+def encode_wav_samples(audio: np.ndarray, bits: int, float_format: bool) -> bytes:
+    """Encode planar float32 [channels, frames] into interleaved WAV sample
+    bytes for the given format."""
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    inter = np.ascontiguousarray(audio.T)  # [frames, channels]
+    if float_format:
+        if bits != 32:
+            raise ValueError("float WAV must be 32-bit")
+        return inter.astype("<f4").tobytes()
+    if bits == 16:
+        clipped = np.clip(inter, -1.0, 1.0)
+        return (clipped * 32767.0).round().astype("<i2").tobytes()
+    if bits == 24:
+        clipped = np.clip(inter, -1.0, 1.0)
+        v = (clipped * float((1 << 23) - 1)).round().astype(np.int32)
+        b = np.empty((v.size, 3), np.uint8)
+        flat = v.reshape(-1)
+        b[:, 0] = flat & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = (flat >> 16) & 0xFF
+        return b.tobytes()
+    if bits == 32:
+        clipped = np.clip(inter, -1.0, 1.0)
+        return (clipped * float((1 << 31) - 1)).round().astype("<i4").tobytes()
+    raise ValueError(f"unsupported PCM bit depth {bits}")
+
+
+def wav_header(sample_rate: int, channels: int, bits: int, float_format: bool,
+               data_bytes: int) -> bytes:
+    """RIFF/WAVE header up to and including the data chunk header."""
+    tag = WAVE_FORMAT_IEEE_FLOAT if float_format else WAVE_FORMAT_PCM
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, channels, sample_rate, byte_rate,
+                      block_align, bits)
+    body_len = 4 + 8 + len(fmt) + 8 + data_bytes + (data_bytes & 1)
+    return (b"RIFF" + struct.pack("<I", body_len) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_bytes))
+
+
 def write_wav(path, audio: np.ndarray, sample_rate: int, bits: int = 32, float_format: bool = True):
     """Write planar float32 [channels, frames] (or [frames] mono).
 
@@ -141,40 +184,10 @@ def write_wav(path, audio: np.ndarray, sample_rate: int, bits: int = 32, float_f
     audio = np.asarray(audio, np.float32)
     if audio.ndim == 1:
         audio = audio[None, :]
-    ch, frames = audio.shape
-    inter = np.ascontiguousarray(audio.T)  # [frames, channels]
-
-    if float_format:
-        if bits != 32:
-            raise ValueError("float WAV must be 32-bit")
-        payload = inter.astype("<f4").tobytes()
-        tag = WAVE_FORMAT_IEEE_FLOAT
-    else:
-        if bits == 16:
-            clipped = np.clip(inter, -1.0, 1.0)
-            payload = (clipped * 32767.0).round().astype("<i2").tobytes()
-        elif bits == 24:
-            clipped = np.clip(inter, -1.0, 1.0)
-            v = (clipped * float((1 << 23) - 1)).round().astype(np.int32)
-            b = np.empty((v.size, 3), np.uint8)
-            flat = v.reshape(-1)
-            b[:, 0] = flat & 0xFF
-            b[:, 1] = (flat >> 8) & 0xFF
-            b[:, 2] = (flat >> 16) & 0xFF
-            payload = b.tobytes()
-        elif bits == 32:
-            clipped = np.clip(inter, -1.0, 1.0)
-            payload = (clipped * float((1 << 31) - 1)).round().astype("<i4").tobytes()
-        else:
-            raise ValueError(f"unsupported PCM bit depth {bits}")
-        tag = WAVE_FORMAT_PCM
-
-    byte_rate = sample_rate * ch * bits // 8
-    block_align = ch * bits // 8
-    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate, byte_rate, block_align, bits)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(payload)) + payload
-    if len(payload) & 1:
-        body += b"\x00"
+    payload = encode_wav_samples(audio, bits, float_format)
     with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+        f.write(wav_header(sample_rate, audio.shape[0], bits, float_format,
+                           len(payload)))
+        f.write(payload)
+        if len(payload) & 1:
+            f.write(b"\x00")

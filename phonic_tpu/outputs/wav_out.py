@@ -1,16 +1,20 @@
-"""Offline WAV output device.
+"""Offline WAV output device with streaming writes.
 
 Behavioural spec: reference src/output/wav.rs — pulls the root source in
-blocks and writes 32-bit-float WAV, finalizing when the source exhausts or
-the configured duration elapses.  Here blocks are *pushed* by the Player's
-render pump; `finalize()` writes the file.
+blocks and writes 32-bit-float WAV incrementally (hound's WavWriter),
+finalizing when the source exhausts or the configured duration elapses.
+Here blocks are *pushed* by the Player's render pump; each block is encoded
+and appended to the file immediately (constant memory for arbitrarily long
+renders) and the RIFF/data sizes are patched on ``close()``.
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
-from ..io.wav import write_wav
+from ..io.wav import encode_wav_samples, read_wav, wav_header
 from .base import OutputDevice
 
 
@@ -22,8 +26,9 @@ class WavOutput(OutputDevice):
         self._ch = channels
         self._bits = bits
         self._float = float_format
-        self._chunks: list[np.ndarray] = []
         self._pos = 0
+        self._data_bytes = 0
+        self._file = None
         self._closed = False
 
     @property
@@ -38,18 +43,46 @@ class WavOutput(OutputDevice):
     def sample_position(self) -> int:
         return self._pos
 
+    def _ensure_open(self):
+        if self._file is None:
+            self._file = open(self.path, "wb")
+            # placeholder sizes, patched in close()
+            self._file.write(wav_header(self._sr, self._ch, self._bits,
+                                        self._float, 0))
+
     def write(self, block) -> None:
+        if self._closed:
+            raise RuntimeError("WavOutput already closed")
         block = np.asarray(block, np.float32)
-        self._chunks.append(block)
+        self._ensure_open()
+        payload = encode_wav_samples(block, self._bits, self._float)
+        self._file.write(payload)
+        self._data_bytes += len(payload)
         self._pos += block.shape[-1]
 
     def audio(self) -> np.ndarray:
-        if not self._chunks:
+        """Rendered audio so far (reads back the file; test/debug helper)."""
+        if self._file is not None and not self._closed:
+            self._file.flush()
+            self._patch_sizes()
+        try:
+            return read_wav(self.path)[0]
+        except (FileNotFoundError, ValueError):
             return np.zeros((self._ch, 0), np.float32)
-        return np.concatenate(self._chunks, axis=-1)
+
+    def _patch_sizes(self):
+        header = wav_header(self._sr, self._ch, self._bits, self._float,
+                            self._data_bytes)
+        end = self._file.tell()
+        self._file.seek(0)
+        self._file.write(header)
+        self._file.seek(end)
 
     def close(self) -> None:
         if not self._closed:
-            write_wav(self.path, self.audio(), self._sr, bits=self._bits,
-                      float_format=self._float)
+            self._ensure_open()
+            if self._data_bytes & 1:
+                self._file.write(b"\x00")
+            self._patch_sizes()
+            self._file.close()
             self._closed = True
