@@ -183,6 +183,89 @@ class RenderProgram:
         self.timelines[(path, pid)].set_glide_at(
             at_frame, float(raw), float(rate), self.ctx.sample_rate)
 
+    def adopt(self, old: "RenderProgram", old_state):
+        """Carry control + node state across a topology rebuild (live
+        add/remove of sources/effects/mixers: the reference keeps unrelated
+        sources running through such edits, src/player.rs add_source /
+        add_effect).  Timelines, stop/kill schedules, smoother rows, node
+        states and batched-lane positions transfer for every path present
+        in both programs; returns the new state pytree."""
+        for key, tl in old.timelines.items():
+            if key in self.timelines:
+                self.timelines[key] = tl
+        for path, node in self.nodes.items():
+            node._timelines = {p.id: self.timelines[(path, p.id)]
+                               for p in node.PARAMS}
+        for path in self.source_paths:
+            if path in old.stop_frames:
+                self.stop_frames[path] = old.stop_frames[path]
+                self.kill_frames[path] = old.kill_frames[path]
+        new_state = self.init_state()
+
+        def _old_pos(path):
+            st = old_state["nodes"].get(path)
+            if isinstance(st, dict) and "base" in st:
+                return st["base"], st["frac"], st.get(
+                    "frac_lo", jnp.zeros((), jnp.float32))
+            loc = old._batched_row.get(path)
+            if loc is not None:
+                og, oi = loc
+                b = old_state["file_batches"][og]
+                return b["base"][oi], b["frac"][oi], b["frac_lo"][oi]
+            return None
+
+        # node states transfer wholesale when the pytree matches
+        nodes = dict(new_state["nodes"])
+        for path, st in old_state["nodes"].items():
+            if path not in nodes:
+                continue
+            a = jax.tree.leaves(nodes[path])
+            b = jax.tree.leaves(st)
+            if (jax.tree.structure(nodes[path]) == jax.tree.structure(st)
+                    and len(a) == len(b)
+                    and all(jnp.shape(x) == jnp.shape(y)
+                            for x, y in zip(a, b))):
+                nodes[path] = st
+        # a file source that used to be batched and is now unbatched
+        for path in list(nodes):
+            if path in old._batched_row and path not in old_state["nodes"]                     and isinstance(nodes[path], dict) and "base" in nodes[path]:
+                pos = _old_pos(path)
+                if pos is not None:
+                    nodes[path] = dict(nodes[path], base=jnp.asarray(pos[0]),
+                                       frac=jnp.asarray(pos[1]),
+                                       frac_lo=jnp.asarray(pos[2]))
+        new_state["nodes"] = nodes
+        # batched lanes (the grouping may have changed)
+        fb = {}
+        for gid, bst in new_state["file_batches"].items():
+            bst = dict(bst)
+            for path, (g2, lane) in self._batched_row.items():
+                if g2 != gid:
+                    continue
+                pos = _old_pos(path)
+                if pos is not None:
+                    bst["base"] = bst["base"].at[lane].set(pos[0])
+                    bst["frac"] = bst["frac"].at[lane].set(pos[1])
+                    bst["frac_lo"] = bst["frac_lo"].at[lane].set(pos[2])
+            fb[gid] = bst
+        new_state["file_batches"] = fb
+        # smoother rows by (path, parameter): mid-ramp values continue
+        sm = {}
+        for key, tree in new_state["smoothers"].items():
+            old_tree = old_state["smoothers"].get(key)
+            pairs = [(i, old._param_row[pp][1])
+                     for i, pp in enumerate(self._param_groups[key])
+                     if pp in old._param_row] if old_tree is not None else []
+            if not pairs:
+                sm[key] = tree
+                continue
+            ni = jnp.asarray([p[0] for p in pairs])
+            oi = jnp.asarray([p[1] for p in pairs])
+            sm[key] = jax.tree.map(lambda nl, ol: nl.at[ni].set(ol[oi]),
+                                   tree, old_tree)
+        new_state["smoothers"] = sm
+        return new_state
+
     def stop_source(self, source, at_frame: int = 0, kill: bool = False):
         """Schedule a stop (with the source's fade-out) or kill (hard cut)."""
         path = self._resolve(source)

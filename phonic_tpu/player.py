@@ -216,6 +216,7 @@ class Player:
         self._state = None
         self._position = 0
         self._pending: list = []  # deferred control ops before first compile
+        self._carry = None  # (program, state) stashed across topology edits
         self._cpu = CpuLoad()
         self._level = AudioLevel(np.zeros(channels), np.zeros(channels))
         self._pump_thread: Optional[threading.Thread] = None
@@ -237,8 +238,10 @@ class Player:
 
     def _invalidate(self):
         if self._program is not None:
-            # carry timelines/stops forward is complex; topology edits while
-            # running restart scheduling state (documented)
+            # stash the old program + state: the next _ensure_program adopts
+            # timelines, schedules and node states so unrelated sources keep
+            # playing through topology edits (reference: src/player.rs)
+            self._carry = (self._program, self._state)
             self._program = None
             self._state = None
 
@@ -300,7 +303,12 @@ class Player:
     def _ensure_program(self) -> RenderProgram:
         if self._program is None:
             self._program = RenderProgram(self.main_mixer, self.engine_config)
-            self._state = self._program.init_state()
+            if self._carry is not None:
+                old_prog, old_state = self._carry
+                self._state = self._program.adopt(old_prog, old_state)
+                self._carry = None
+            else:
+                self._state = self._program.init_state()
             for op in self._pending:
                 op(self._program)
             self._pending.clear()

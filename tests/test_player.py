@@ -192,3 +192,31 @@ def test_per_mixer_metering():
     quiet = sub_quiet.audio_level()
     assert loud.peak.max() > 5 * quiet.peak.max()
     assert np.all(loud.rms >= quiet.rms)
+
+
+def test_topology_edit_keeps_sources_playing():
+    """Live add of a source/effect must not restart what's already playing
+    (reference: Player::add_source while running, src/player.rs)."""
+    from phonic_tpu.effects.gain import GainEffect
+
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    frames = SR
+    ramp = np.tile((np.arange(4 * frames, dtype=np.float32) / SR), (2, 1))
+    h = player.play_file(AudioFileBuffer(ramp, SR),
+                         FilePlaybackOptions(fade_out_secs=0.0, volume=1.0))
+    player.run(duration_frames=4096)  # two blocks in
+
+    # topology edit mid-playback: new source + an effect on a fresh submixer
+    sub = player.add_mixer()
+    player.play_file(tone_buffer(frames=20000),
+                     FilePlaybackOptions(fade_out_secs=0.0, volume=1e-6),
+                     mixer=sub.mixer)
+    # keep pumping on the same player: render the next block directly
+    prog = player._ensure_program()
+    state = player._state
+    state, audio = prog._jit_step(state, prog.block_inputs(2))
+    audio = np.asarray(audio[0] if isinstance(audio, tuple) else audio)
+    # the ramp source must CONTINUE from 4096 frames, not restart at 0
+    lead = audio[0, :64] * SR
+    assert lead[0] == pytest.approx(4096.0, abs=1.0), lead[0]
+    assert np.all(np.diff(lead) > 0.4)
