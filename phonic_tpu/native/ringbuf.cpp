@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <cstdio>
 #include <dlfcn.h>
 #include <thread>
 
@@ -32,6 +33,10 @@ struct AlsaApi {
     long (*writei)(void*, const void*, unsigned long) = nullptr;
     int (*recover)(void*, int, int) = nullptr;
     int (*close_)(void*) = nullptr;
+    // device enumeration (optional symbols)
+    int (*name_hint)(int, const char*, void***) = nullptr;
+    char* (*get_hint)(const void*, const char*) = nullptr;
+    int (*free_hint)(void**) = nullptr;
 
     bool load() {
         lib = dlopen("libasound.so.2", RTLD_NOW | RTLD_LOCAL);
@@ -42,6 +47,11 @@ struct AlsaApi {
         writei = (long (*)(void*, const void*, unsigned long))dlsym(lib, "snd_pcm_writei");
         recover = (int (*)(void*, int, int))dlsym(lib, "snd_pcm_recover");
         close_ = (int (*)(void*))dlsym(lib, "snd_pcm_close");
+        name_hint = (int (*)(int, const char*, void***))
+            dlsym(lib, "snd_device_name_hint");
+        get_hint = (char* (*)(const void*, const char*))
+            dlsym(lib, "snd_device_name_get_hint");
+        free_hint = (int (*)(void**))dlsym(lib, "snd_device_name_free_hint");
         return open_ && set_params && writei && recover && close_;
     }
 };
@@ -121,8 +131,50 @@ int ph_alsa_available() {
     return ok ? 1 : 0;
 }
 
-void* ph_ring_create(uint32_t capacity_frames, uint32_t sample_rate,
-                     uint32_t channels, int try_alsa) {
+// Enumerate ALSA playback PCM devices (reference: cpal device listing used
+// by DefaultOutputDevice).  Writes "name\tdesc\n" records into `out`;
+// returns the device count, or -1 when ALSA (or the hint API) is absent.
+int ph_alsa_list_devices(char* out, int cap) {
+    AlsaApi api;
+    if (!api.load() || !api.name_hint || !api.get_hint || !api.free_hint) {
+        if (api.lib) dlclose(api.lib);
+        return -1;
+    }
+    void** hints = nullptr;
+    int count = 0;
+    int used = 0;
+    if (api.name_hint(-1, "pcm", &hints) == 0 && hints) {
+        for (void** h = hints; *h; ++h) {
+            char* ioid = api.get_hint(*h, "IOID");
+            bool playback = !ioid || std::strcmp(ioid, "Output") == 0;
+            if (ioid) std::free(ioid);
+            if (!playback) continue;
+            char* name = api.get_hint(*h, "NAME");
+            if (!name) continue;
+            char* desc = api.get_hint(*h, "DESC");
+            // first line of the description only
+            if (desc) {
+                char* nl = std::strchr(desc, '\n');
+                if (nl) *nl = 0;
+            }
+            int need = (int)std::strlen(name) + 1
+                + (desc ? (int)std::strlen(desc) : 0) + 1;
+            if (out && used + need < cap) {
+                used += std::snprintf(out + used, cap - used, "%s\t%s\n",
+                                      name, desc ? desc : "");
+            }
+            std::free(name);
+            if (desc) std::free(desc);
+            ++count;
+        }
+        api.free_hint(hints);
+    }
+    dlclose(api.lib);
+    return count;
+}
+
+void* ph_ring_create_dev(uint32_t capacity_frames, uint32_t sample_rate,
+                         uint32_t channels, int try_alsa, const char* device) {
     Ring* r = new Ring();
     r->capacity_frames = next_pow2(capacity_frames);
     r->mask = r->capacity_frames - 1;
@@ -130,8 +182,9 @@ void* ph_ring_create(uint32_t capacity_frames, uint32_t sample_rate,
     r->sample_rate = sample_rate;
     r->data = (float*)std::calloc((size_t)r->capacity_frames * channels,
                                   sizeof(float));
+    const char* dev = (device && *device) ? device : "default";
     if (try_alsa && r->alsa.load()) {
-        if (r->alsa.open_(&r->pcm, "default", SND_PCM_STREAM_PLAYBACK, 0) == 0 &&
+        if (r->alsa.open_(&r->pcm, dev, SND_PCM_STREAM_PLAYBACK, 0) == 0 &&
             r->alsa.set_params(r->pcm, SND_PCM_FORMAT_FLOAT_LE,
                                SND_PCM_ACCESS_RW_INTERLEAVED, channels,
                                sample_rate, 1, 100000 /* 100 ms */) == 0) {
@@ -143,6 +196,12 @@ void* ph_ring_create(uint32_t capacity_frames, uint32_t sample_rate,
     }
     r->consumer = std::thread(consumer_loop, r);
     return r;
+}
+
+void* ph_ring_create(uint32_t capacity_frames, uint32_t sample_rate,
+                     uint32_t channels, int try_alsa) {
+    return ph_ring_create_dev(capacity_frames, sample_rate, channels,
+                              try_alsa, nullptr);
 }
 
 // Blocking write of interleaved f32 frames; returns frames written or -1.

@@ -51,11 +51,37 @@ def _load_lib():
     lib.ph_ring_uses_alsa.restype = ctypes.c_int
     lib.ph_ring_uses_alsa.argtypes = [ctypes.c_void_p]
     lib.ph_alsa_available.restype = ctypes.c_int
+    lib.ph_alsa_list_devices.restype = ctypes.c_int
+    lib.ph_alsa_list_devices.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.ph_ring_create_dev.restype = ctypes.c_void_p
+    lib.ph_ring_create_dev.argtypes = [
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+        ctypes.c_char_p,
+    ]
     return lib
 
 
 def rt_available() -> bool:
     return _load_lib() is not None
+
+
+def list_alsa_devices() -> list[tuple[str, str]]:
+    """Enumerate ALSA playback devices as (name, description) pairs
+    (reference: cpal's device iteration behind DefaultOutputDevice).
+    Empty when ALSA or the native bridge is unavailable."""
+    lib = _load_lib()
+    if lib is None:
+        return []
+    buf = ctypes.create_string_buffer(1 << 16)
+    n = lib.ph_alsa_list_devices(buf, len(buf))
+    if n <= 0:
+        return []
+    out = []
+    for line in buf.value.decode("utf-8", "replace").splitlines():
+        name, _, desc = line.partition("\t")
+        if name:
+            out.append((name, desc))
+    return out
 
 
 def alsa_available() -> bool:
@@ -65,7 +91,10 @@ def alsa_available() -> bool:
 
 class RtOutput(OutputDevice):
     def __init__(self, sample_rate: int = 48000, channels: int = 2,
-                 buffer_secs: float = 0.25, try_alsa: bool = True):
+                 buffer_secs: float = 0.25, try_alsa: bool = True,
+                 device: str = ""):
+        """``device`` picks an ALSA PCM by name (see list_alsa_devices);
+        empty = "default"."""
         lib = _load_lib()
         if lib is None:
             raise OutputDeviceError("native realtime bridge unavailable "
@@ -73,9 +102,9 @@ class RtOutput(OutputDevice):
         self._lib = lib
         self._sr = sample_rate
         self._ch = channels
-        self._handle = lib.ph_ring_create(
+        self._handle = lib.ph_ring_create_dev(
             int(buffer_secs * sample_rate), sample_rate, channels,
-            1 if try_alsa else 0,
+            1 if try_alsa else 0, device.encode("utf-8"),
         )
         if not self._handle:
             raise OutputDeviceError("failed to create native audio ring")

@@ -40,3 +40,29 @@ def test_pause_resume():
         assert out.sample_position > p1
     finally:
         out.close()
+
+
+def test_list_alsa_devices_graceful():
+    """Enumeration returns a list (possibly empty in a headless container)
+    without raising; entries are (name, desc) string pairs."""
+    from phonic_tpu.outputs.rt import list_alsa_devices
+
+    devs = list_alsa_devices()
+    assert isinstance(devs, list)
+    for name, desc in devs:
+        assert isinstance(name, str) and isinstance(desc, str)
+
+
+def test_rt_output_named_device_falls_back():
+    """A bogus device name must not crash: ALSA open fails, the null
+    consumer keeps draining."""
+    from phonic_tpu.outputs.rt import RtOutput, rt_available
+    import numpy as np
+    import pytest as _pytest
+
+    if not rt_available():
+        _pytest.skip("native bridge not built")
+    out = RtOutput(48000, 2, buffer_secs=0.05, device="no-such-pcm-device")
+    assert not out.uses_alsa
+    out.write(np.zeros((2, 256), np.float32))
+    out.close()
