@@ -5,7 +5,7 @@ buffer + loop range + guard frame), src/source/file/info.rs (metadata-only
 probe), src/source/file/decoder.rs (format probing / packet decode).
 
 The reference decodes via the symphonia crate (wav/aiff/flac/mp3/ogg/alac);
-here WAV and AIFF are decoded natively (pure NumPy) and other containers
+here WAV, AIFF and FLAC are decoded natively (pure NumPy) and other containers
 raise a clear `UnsupportedFormatError` carrying the detected format — the
 decode plugin protocol (`register_decoder`) lets deployments hook in ffmpeg
 or any other host decoder without touching the engine.
@@ -118,6 +118,11 @@ def decode_file(path):
         return data, info
     if fmt == "aiff":
         data, sr = _read_aiff(p)
+        info = AudioFileInfo(str(p), sr, data.shape[0], data.shape[1], [])
+        return data, info
+    if fmt == "flac":
+        from .flac import read_flac
+        data, sr = read_flac(p)
         info = AudioFileInfo(str(p), sr, data.shape[0], data.shape[1], [])
         return data, info
     if fmt in _DECODERS:
