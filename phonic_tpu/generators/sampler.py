@@ -373,16 +373,25 @@ class Sampler(Generator):
             "_trig_rel": np.full(v, np.inf, np.float32),
             "_trig_spd": np.ones(v, np.float32),
         }
-        # per-note automation events per lane (cont "ca" / trig "ta"),
-        # K knots per block so speed-glide ramps lower losslessly
+        # Per-note automation events per lane (cont "ca" / trig "ta"), K
+        # knots per block so speed-glide ramps lower losslessly.  The event
+        # arrays are only emitted once ANY per-note automation exists: the
+        # no-automation render then compiles the plain scalar voice path
+        # (zero overhead, the common case), and the first set_note_* event
+        # retraces the block step once with the event inputs present.
+        has_auto = any(ev.kind.startswith("set_") for ev in self.events)
         ka = max(4, block_len // 512)
-        for lane in ("ca", "ta"):
-            for nm in ("vol", "pan", "spd"):
-                out[f"_{lane}_{nm}_t"] = np.full((v, ka), block_len, np.int32)
-                out[f"_{lane}_{nm}_v"] = np.zeros((v, ka), np.float32)
-                out[f"_{lane}_{nm}_r"] = np.zeros((v, ka), np.float32)
+        if has_auto:
+            for lane in ("ca", "ta"):
+                for nm in ("vol", "pan", "spd"):
+                    out[f"_{lane}_{nm}_t"] = np.full((v, ka), block_len,
+                                                     np.int32)
+                    out[f"_{lane}_{nm}_v"] = np.zeros((v, ka), np.float32)
+                    out[f"_{lane}_{nm}_r"] = np.zeros((v, ka), np.float32)
 
         def _lower_auto(seg, lane, vi):
+            if not has_auto:
+                return
             for nm, tl in (("vol", seg.vol_tl), ("pan", seg.pan_tl),
                            ("spd", seg.spd_tl)):
                 if tl is not None:
@@ -528,9 +537,12 @@ class Sampler(Generator):
         def auto_vals(current, auto, lane_key, nm):
             """Per-sample automated value from the per-voice event arrays
             (reference applies SetVolume/SetPanning/SetSpeed sample-split;
-            here via the shared stepped/ramp evaluator)."""
-            ev = SegmentEvents(auto[f"_{lane_key}_{nm}_t"],
-                               auto[f"_{lane_key}_{nm}_v"])
+            here via the shared stepped/ramp evaluator).  Without automation
+            the scalar passes straight through (static fast path)."""
+            key = f"_{lane_key}_{nm}_t"
+            if key not in auto:
+                return current
+            ev = SegmentEvents(auto[key], auto[f"_{lane_key}_{nm}_v"])
             return step_targets(current, ev, auto[f"_{lane_key}_{nm}_r"], n)[1]
 
         def render_voice(base0, frac0, c_act, c_note, c_vol, c_pan, c_age0,

@@ -102,8 +102,10 @@ class SynthGenerator(Generator):
         glide = self.glide_secs
 
         def auto_vals(current, auto, lane_key, nm):
-            ev = SegmentEvents(auto[f"_{lane_key}_{nm}_t"],
-                               auto[f"_{lane_key}_{nm}_v"])
+            key = f"_{lane_key}_{nm}_t"
+            if key not in auto:  # static fast path: no automation lowered
+                return current
+            ev = SegmentEvents(auto[key], auto[f"_{lane_key}_{nm}_v"])
             return step_targets(current, ev, auto[f"_{lane_key}_{nm}_r"], n)[1]
 
         def render_voice(syn_state, c_act, c_note, c_vol, c_pan, c_age0, c_rel,

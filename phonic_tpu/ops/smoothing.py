@@ -348,27 +348,33 @@ def step_targets(current, events: SegmentEvents, ramps, n: int):
     """Un-smoothed per-sample targets for smoothing=None parameters: stepped
     at event times, or linearly interpolated across a segment when the event
     ending it is flagged as a ramp (speed glides, events.py).  Returns
-    (end_value, values[n])."""
-    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), events.times])
-    valid = seg_start < n
-    raw = jnp.concatenate([current[None], events.values])
+    (end_value, values[n]).
+
+    Evaluated as a sum of K basis terms (step or clipped-lerp per event)
+    with statically-indexed coefficients: pure elementwise VPU work, no
+    gathers or searchsorted — per-voice automation stays nearly free on
+    TPU.  value[i] = current + sum_k d_k * g_k(i), with d_k the value delta
+    at event k and g_k a unit step (jump) or clipped ramp."""
+    t = events.times  # [K], pads hold block_len
+    valid = t < n
 
     def carry(cur, xs):
         v, ok = xs
         cur = jnp.where(ok, v, cur)
         return cur, cur
 
-    _, seg_vals = jax.lax.scan(carry, raw[0], (raw, valid), unroll=True)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    seg_of = jnp.searchsorted(seg_start, idx, side="right") - 1
-    base = seg_vals[seg_of]
-    # ramp events lerp across the segment they terminate, landing exactly
-    # on the event value at the event time
-    pad_t = jnp.full((1,), n, jnp.int32)
-    seg_end = jnp.concatenate([events.times, pad_t])[seg_of]
-    ramp_on = jnp.concatenate([ramps, jnp.zeros((1,), ramps.dtype)])[seg_of]
-    tgt = jnp.concatenate([events.values, jnp.zeros((1,), raw.dtype)])[seg_of]
-    t0 = seg_start[seg_of].astype(jnp.float32)
-    span = jnp.maximum(jnp.minimum(seg_end, n).astype(jnp.float32) - t0, 1.0)
-    frac = (idx.astype(jnp.float32) - t0) / span
-    return seg_vals[-1], jnp.where(ramp_on > 0, base + (tgt - base) * frac, base)
+    cur0 = jnp.asarray(current, jnp.float32)
+    _, after = jax.lax.scan(carry, cur0, (events.values, valid), unroll=True)
+    seg_vals = jnp.concatenate([cur0[None], after])  # [K+1]
+    d = seg_vals[1:] - seg_vals[:-1]  # [K]; 0 on padded slots
+    prev_t = jnp.concatenate([jnp.zeros((1,), t.dtype), t[:-1]])
+    inv_span = 1.0 / jnp.maximum(t - prev_t, 1).astype(jnp.float32)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    vals = jnp.broadcast_to(current, (n,)).astype(jnp.float32)
+    k_count = t.shape[0]
+    for k in range(k_count):  # static unroll, K is small
+        ramp_g = jnp.clip((idx - prev_t[k]) * inv_span[k], 0.0, 1.0)
+        jump_g = (idx >= t[k]).astype(jnp.float32)
+        vals = vals + d[k] * jnp.where(ramps[k] > 0, ramp_g, jump_g)
+    return seg_vals[-1], vals
+

@@ -154,3 +154,25 @@ def test_set_loop_range_validation():
         s.set_loop_range((500, 2000))
     with pytest.raises(ValueError):
         s.set_loop_range((-5, 100))
+
+
+def test_automation_arriving_mid_playback_retraces_once():
+    """The no-automation render compiles a scalar voice path; the first
+    set_note_* event adds the event arrays to the block inputs, which
+    retraces the step exactly once and keeps rendering."""
+    s = Sampler(dc_buffer())
+    nid = s.note_on(60, volume=1.0, time=0)
+    main = Mixer("main")
+    main.add_source(s)
+    prog = RenderProgram(main, CFG)
+    state = prog.init_state()
+    state, a0 = prog._jit_step(state, prog.block_inputs(0))
+    assert prog.jit_cache_size() == 1
+    s.set_note_volume(nid, 0.25, time=N + 100)  # arrives after block 0
+    state, a1 = prog._jit_step(state, prog.block_inputs(1))
+    assert prog.jit_cache_size() == 2  # one-time retrace, then steady
+    state, a2 = prog._jit_step(state, prog.block_inputs(2))
+    assert prog.jit_cache_size() == 2
+    a1 = np.asarray(a1)
+    assert a1[0][99] == pytest.approx(np.asarray(a0)[0][0])
+    assert a1[0][100] == pytest.approx(a1[0][99] * 0.25, rel=1e-5)
