@@ -58,9 +58,18 @@ def test_wav_smpl_loop_chunk(tmp_path):
 
 
 def test_unsupported_format_message(tmp_path):
+    p = tmp_path / "f.ogg"
+    p.write_bytes(b"OggS" + b"\x00" * 64)
+    with pytest.raises(UnsupportedFormatError, match="ogg"):
+        decode_file(p)
+
+
+def test_corrupt_flac_reports_media_error(tmp_path):
+    from phonic_tpu.errors import MediaFileError
+
     p = tmp_path / "f.flac"
-    p.write_bytes(b"fLaC" + b"\x00" * 64)
-    with pytest.raises(UnsupportedFormatError, match="flac"):
+    p.write_bytes(b"fLaC" + b"\x00" * 64)  # garbage metadata
+    with pytest.raises(MediaFileError):
         decode_file(p)
 
 
