@@ -2,6 +2,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from phonic_tpu.graph.nodes import BuildCtx
 from phonic_tpu.effects import chorus as chorus_fx
 from phonic_tpu.effects import reverb as reverb_fx

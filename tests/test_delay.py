@@ -2,6 +2,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from phonic_tpu.graph.nodes import BuildCtx
 from phonic_tpu.effects import delay as delay_fx
 

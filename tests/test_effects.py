@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from phonic_tpu.graph.nodes import BuildCtx
 from phonic_tpu.ops import filters as flt
 from phonic_tpu.effects import pan as pan_fx

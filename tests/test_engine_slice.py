@@ -7,6 +7,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from phonic_tpu import (
     AudioFileBuffer, EngineConfig, FilePlaybackOptions, FileSource, Mixer,
     RenderProgram,

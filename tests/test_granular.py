@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from phonic_tpu import AudioFileBuffer, EngineConfig, Mixer, RenderProgram
 from phonic_tpu.generators.granular import (
     CROSSFADE_POINTS, GranularConfig, grain_windows, window_sample,

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from phonic_tpu.io import read_wav
 from phonic_tpu.io.decoder import AudioFileBuffer
 from phonic_tpu.player import Player, PlayerConfig

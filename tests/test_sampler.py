@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from phonic_tpu import AudioFileBuffer, EngineConfig, Mixer, RenderProgram
 from phonic_tpu.generators.base import GeneratorPlaybackOptions
 from phonic_tpu.generators.sampler import AhdsrConfig, Sampler
