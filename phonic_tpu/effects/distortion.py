@@ -88,10 +88,43 @@ SHAPERS = (soft_clip, hard_clip, diode, fuzz, fold)
 def compensation_luts():
     """[5, 256] input_rms/output_rms per (type, drive) — host-precomputed
     with the reference's 5-partial probe signal (distortion.rs:84-121).
-    Runs eagerly even when first touched inside a jit trace."""
-    import jax
-    with jax.ensure_compile_time_eval():
-        return _build_luts()
+
+    PURE NumPy: probing 5 x 256 drive points through jax (even eagerly)
+    fires ~1300 tiny device dispatches, takes >1 min over the remote
+    backend, and leaves the device session ~10x slower afterwards
+    (CLAUDE.md).  The host math is identical."""
+    return _build_luts()
+
+
+def _np_shapers(sig, d):
+    """NumPy twins of the five jnp waveshapers, vectorised over drive."""
+    t = d / MAX_DRIVE  # [D, 1]
+    x = sig[None, :]  # [1, n]
+    out = np.empty((len(SHAPERS), len(d), sig.shape[0]), np.float64)
+    # soft clip
+    gain = 1.0 + t * t * 14.0
+    xg = x * gain
+    shaped = np.where(gain <= 1.0, x, 1.5 * (xg - xg**3 / 3.0))
+    out[0] = np.where(xg >= 1.0, 1.0, np.where(xg > -1.0, shaped, -1.0))
+    # hard clip
+    gain = 1.0 + t * t * 24.0
+    out[1] = np.clip(x, -1.0 / gain, 1.0 / gain) * gain
+    # diode
+    curve = 0.6 * t * t + 0.4 * t
+    gain = 1.0 + curve * 19.0
+    out[2] = 2.0 / math.pi * np.arctan((np.exp((0.1 * x) / (0.0253 * 1.68)) - 1.0) * gain)
+    # fuzz
+    gain = 1.0 + (1.0 - np.exp(-3.0 * t)) * 29.0
+    amp = x * gain
+    sat = np.where(amp == 0.0, 0.0, np.sign(amp) * (1.0 - np.exp(-np.abs(amp))))
+    out[3] = 1.5 * (sat + np.abs(sat))
+    # fold
+    gain = 1.0 + t * t * 3.0
+    xg = x * gain
+    thr = 1.0 / gain
+    folded = np.abs(np.mod(np.abs(xg - thr), thr * 4.0) - thr * 2.0) - thr
+    out[4] = np.where(np.abs(xg) > thr, folded, xg)
+    return out
 
 
 def _build_luts():
@@ -99,22 +132,24 @@ def _build_luts():
     peak = sum(a for _, a in partials)
     n = 256
     t = 2.0 * math.pi * (np.arange(n) + 0.5) / n
-    sig = sum(a * np.sin(f * t) for f, a in partials) / peak
-    sig = jnp.asarray(sig, jnp.float32)
-    in_rms = float(jnp.sqrt(jnp.mean(sig**2)))
-    drives = np.arange(_LUT_SIZE) / (_LUT_SIZE - 1) * MAX_DRIVE
-    luts = np.ones((len(SHAPERS), _LUT_SIZE), np.float32)
-    for s, shaper in enumerate(SHAPERS):
-        for i, d in enumerate(drives):
-            out = shaper(sig, jnp.float32(d))
-            orms = float(jnp.sqrt(jnp.mean(out**2)))
-            luts[s, i] = in_rms / orms if orms > 1e-10 else 1.0
-    return luts  # NumPy: safe to cache across jit traces
+    sig = (sum(a * np.sin(f * t) for f, a in partials) / peak).astype(np.float32)
+    in_rms = float(np.sqrt(np.mean(sig.astype(np.float64) ** 2)))
+    drives = (np.arange(_LUT_SIZE) / (_LUT_SIZE - 1) * MAX_DRIVE)[:, None]
+    shaped = _np_shapers(sig, drives)  # [5, D, n]
+    orms = np.sqrt(np.mean(shaped**2, axis=-1))  # [5, D]
+    luts = np.where(orms > 1e-10, in_rms / np.maximum(orms, 1e-10), 1.0)
+    return luts.astype(np.float32)  # NumPy: safe to cache across jit traces
 
 
 class DistortionEffect(Effect):
     PARAMS = (DIST_TYPE, DRIVE, MIX)
     WEIGHT = 1
+
+    def init_state(self, ctx: BuildCtx):
+        # the RMS-compensation LUT rides in the state pytree: an embedded
+        # jaxpr constant would be re-staged to the device on every execution
+        # on some backends (see CLAUDE.md), costing ~25x on this one
+        return {"luts": jnp.asarray(compensation_luts())}
 
     def __init__(self, distortion_type: str = "Diode", drive: float = 0.0,
                  mix: float = 1.0, name=None):
@@ -135,7 +170,7 @@ class DistortionEffect(Effect):
         drive = params[DRIVE.id]  # [n]
         mix = params[MIX.id]  # [n]
 
-        luts = jnp.asarray(compensation_luts())
+        luts = state["luts"]
         pos = jnp.clip(drive / MAX_DRIVE, 0.0, 1.0) * (_LUT_SIZE - 1)
         lo = jnp.floor(pos).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, _LUT_SIZE - 1)

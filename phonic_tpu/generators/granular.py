@@ -79,14 +79,18 @@ def grain_windows():
     return luts  # NumPy: safe to cache across jit traces
 
 
-def window_sample(mode, phase):
-    """Lerp LUT lookup (granular.rs:201-215).  mode int32[...], phase f32[...]"""
+def window_sample(mode, phase, table=None):
+    """Lerp LUT lookup (granular.rs:201-215).  mode int32[...], phase f32[...]
+    ``table`` should be the device-resident flat window LUT (state pytree);
+    embedding it as a jaxpr constant re-stages it per execution on some
+    backends (CLAUDE.md)."""
     idx_f = jnp.clip(phase, 0.0, 1.0) * (WINDOW_N - 1)
     idx = jnp.minimum(idx_f.astype(jnp.int32), WINDOW_N - 2)
     frac = idx_f - idx
     # flat gather: mode and phase share shape
     lin = jnp.asarray(mode, jnp.int32) * WINDOW_N
-    table = jnp.asarray(grain_windows().reshape(-1))
+    if table is None:
+        table = jnp.asarray(grain_windows().reshape(-1))
     a = table[lin + idx]
     b = table[lin + idx + 1]
     return a * (1.0 - frac) + b * frac
@@ -147,6 +151,7 @@ def granular_voice_block(
     size_ms, density, variation, spray, pan_spread, position, pos_mod, step, speed_mod,
     overlap_mode,  # i32 scalar: 0 cloud, 1 sequential
     window_mode,  # i32[n]
+    window_table=None,  # f32[8*WINDOW_N] device-resident LUT
     direction,  # i32[n]
     seed: int,
     max_triggers: int,
@@ -298,7 +303,8 @@ def granular_voice_block(
     localf = local.astype(jnp.float32)
     wphase = jnp.clip(localf * slots["g_winc"][:, None], 0.0, 1.0)
     env = window_sample(
-        jnp.broadcast_to(slots["g_wmode"][:, None], wphase.shape), wphase
+        jnp.broadcast_to(slots["g_wmode"][:, None], wphase.shape), wphase,
+        table=window_table,
     ) * slots["g_vol"][:, None]
 
     pos = slots["g_pos0"][:, None] + localf * slots["g_inc"][:, None]

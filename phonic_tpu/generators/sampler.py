@@ -462,6 +462,10 @@ class Sampler(Generator):
             st["grains"] = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (v,) + x.shape).copy(), one
             )
+            from .granular import grain_windows
+            # device-resident window LUT (embedded constants re-stage per
+            # execution on some backends, CLAUDE.md)
+            st["gwin"] = jnp.asarray(grain_windows().reshape(-1))
         return st
 
     def _envelope_params(self, params):
@@ -600,6 +604,7 @@ class Sampler(Generator):
         n = ctx.block_frames
         sr = ctx.sample_rate
         mono = state["buf"]
+        gwin = state["gwin"]
         frames = mono.shape[0]
         loop_norm = None
         if self.buffer.loop_range is not None:
@@ -657,6 +662,7 @@ class Sampler(Generator):
             gr_state, audio = granular_voice_block(
                 gr_state,
                 frame0=frame0, n=n, sr=sr, mono_buf=mono, loop_range=loop_norm,
+                window_table=gwin,
                 note_start=note_start, held=held, speed=speed,
                 vol=eff_vol, pan=eff_pan,
                 size_ms=params[GRAIN_SIZE.id] * (1.0 + mods[0]),

@@ -95,12 +95,28 @@ class FileBatch:
 
     def init_state(self):
         s = len(self.sources)
-        return {
+        st = {
             "base": jnp.zeros((s,), jnp.int32),
             "frac": jnp.zeros((s,), jnp.float32),
             "frac_lo": jnp.zeros((s,), jnp.float32),
             "buf": jnp.asarray(self.buffers),
         }
+        # per-lane metadata and the sinc table ride in the state pytree:
+        # embedded jaxpr constants are re-staged to the device per execution
+        # on some backends (CLAUDE.md)
+        st["meta"] = {
+            "frames": jnp.asarray(self.frames),
+            "repeat": jnp.asarray(self.repeat),
+            "loop_start": jnp.asarray(self.loop_start),
+            "loop_end": jnp.asarray(self.loop_end),
+            "ratio": jnp.asarray(self.ratio),
+            "fade_in": jnp.asarray(self.fade_in_log1m),
+            "fade_out": jnp.asarray(self.fade_out_log1m),
+            "start_time": jnp.asarray(self.start_time),
+        }
+        if self.sinc is not None:
+            st["sinc"] = jnp.asarray(self.sinc)
+        return st
 
     def _fold(self, ki, fr, frames, rpt, lstart, lend):
         """Traced twin of FileSource._fold for this group's static shape."""
@@ -143,6 +159,8 @@ class FileBatch:
         """All inputs stacked [S] / [S, n].  Returns (state, out [S, ch, n])."""
         ctx = self.ctx
         n = ctx.block_frames
+        sinc_tbl = state.get("sinc")
+        meta = state["meta"]
 
         def lane(base_s, frac_s, lo_s, buf, frames, rpt, lstart, lend, ratio,
                  fi_log1m, fo_log1m, start_time, vol, pan, spd, stop, kill,
@@ -170,7 +188,7 @@ class FileBatch:
 
             pos = fki.astype(jnp.float32) + ffr
             if self.sinc is not None:
-                audio = rs.sinc_read(buf, pos, self.sinc)
+                audio = rs.sinc_read(buf, pos, sinc_tbl)
             else:
                 audio = rs.hermite_read(buf, pos)
             audio = audio * mask[None, :]
@@ -212,10 +230,13 @@ class FileBatch:
 
         (nb, nf, nl), out = jax.vmap(lane)(
             state["base"], state["frac"], state["frac_lo"], state["buf"],
-            jnp.asarray(self.frames), jnp.asarray(self.repeat),
-            jnp.asarray(self.loop_start), jnp.asarray(self.loop_end),
-            jnp.asarray(self.ratio), jnp.asarray(self.fade_in_log1m),
-            jnp.asarray(self.fade_out_log1m), jnp.asarray(self.start_time),
+            meta["frames"], meta["repeat"], meta["loop_start"],
+            meta["loop_end"], meta["ratio"], meta["fade_in"],
+            meta["fade_out"], meta["start_time"],
             volume, panning, speed, stop_at, kill_at, seek_flag, seek_pos,
         )
-        return {"base": nb, "frac": nf, "frac_lo": nl, "buf": state["buf"]}, out
+        new_state = {"base": nb, "frac": nf, "frac_lo": nl,
+                     "buf": state["buf"], "meta": meta}
+        if sinc_tbl is not None:
+            new_state["sinc"] = sinc_tbl
+        return new_state, out

@@ -142,12 +142,17 @@ class FileSource(Source):
         # The sample data rides in the state pytree (threaded unchanged):
         # passing it as an argument keeps it device-resident, where a
         # closure constant would be re-staged per execution on some backends.
-        return {
+        st = {
             "base": jnp.zeros((), jnp.int32),
             "frac": jnp.zeros((), jnp.float32),
             "frac_lo": jnp.zeros((), jnp.float32),
             "buf": jnp.asarray(self.buffer.data),
         }
+        if self.options.resampling_quality == "high":
+            ratio = self.buffer.sample_rate / ctx.sample_rate
+            st["sinc"] = jnp.asarray(rs.sinc_table(
+                cutoff=min(1.0, 1.0 / max(ratio * self.options.speed, 1.0))))
+        return st
 
     def _fold(self, ki, fr):
         """Linear source position (int frames ki + frac fr) -> buffer
@@ -237,10 +242,7 @@ class FileSource(Source):
         buf = state["buf"]  # [ch, frames+1] (guard frame)
         pos = fki.astype(jnp.float32) + ffr
         if self.options.resampling_quality == "high":
-            table = rs.sinc_table(
-                cutoff=min(1.0, 1.0 / max(ratio * self.options.speed, 1.0))
-            )
-            audio = rs.sinc_read(buf, pos, table)
+            audio = rs.sinc_read(buf, pos, state["sinc"])
         else:
             audio = rs.hermite_read(buf, pos)
         audio = audio * mask[None, :]
@@ -258,8 +260,11 @@ class FileSource(Source):
         carry = jnp.floor(total)
         new_base = self._fold_state(base0 + carry.astype(jnp.int32))
         # subtracting the integer part is exact, so lo carries over unchanged
-        return {"base": new_base, "frac": total - carry, "frac_lo": lo,
-                "buf": buf}, audio
+        new_state = {"base": new_base, "frac": total - carry, "frac_lo": lo,
+                     "buf": buf}
+        if "sinc" in state:
+            new_state["sinc"] = state["sinc"]
+        return new_state, audio
 
     def _fade_gains(self, gframes, stop_at, kill_at, ctx: BuildCtx):
         """Analytic fade-in from start_time and fade-out from stop_at
