@@ -172,6 +172,37 @@ class RenderProgram:
         raw = desc.clamp(value)
         self.timelines[(path, pid)].set_at(at_frame, float(raw))
 
+    def set_parameter_normalized(self, node, pid: str, normalized: float,
+                                 at_frame: int = 0):
+        """Parameter update by normalized 0..1 position through the
+        descriptor's scaling (reference: ParameterValueUpdate::Normalized,
+        src/parameter.rs:106-113)."""
+        path = self._resolve(node)
+        desc = self.nodes[path].param(pid)
+        raw = desc.denormalize(float(normalized))
+        self.timelines[(path, pid)].set_at(at_frame, float(raw))
+
+    def remove_pending_events(self, node=None, after_frame: int = 0):
+        """Drop all scheduled parameter events at/after ``after_frame`` —
+        for one node, or for the whole graph plus pending stop/kill
+        schedules (reference: MixerMessage::RemoveAllPendingEvents,
+        src/source/mixed.rs:47-194)."""
+        keys = (
+            [(p, pid) for (p, pid) in self.timelines
+             if node is None or p == self._resolve(node)]
+        )
+        for key in keys:
+            tl = self.timelines[key]
+            import bisect as _b
+            cut = _b.bisect_left(tl.times, int(after_frame))
+            del tl.times[cut:], tl.values[cut:], tl.ramps[cut:]
+        if node is None:
+            for p in self.source_paths:
+                if self.stop_frames[p] >= after_frame:
+                    self.stop_frames[p] = NEVER
+                if self.kill_frames[p] >= after_frame:
+                    self.kill_frames[p] = NEVER
+
     def set_parameter_glide(self, node, pid: str, value, rate: float,
                             at_frame: int = 0):
         """Like set_parameter but ramping at ``rate`` semitones/second

@@ -97,6 +97,12 @@ class _Handle:
         for pid, v in values.items():
             self.set_parameter(pid, v, at)
 
+    def set_parameter_normalized(self, pid: str, normalized: float,
+                                 at: Optional[int] = None):
+        """Normalized 0..1 update through the parameter's scaling
+        (reference: ParameterValueUpdate::Normalized)."""
+        self._player._set_parameter_normalized(self._node, pid, normalized, at)
+
     def send_message(self, message):
         self._node.handle_message(message)
 
@@ -323,6 +329,23 @@ class Player:
             self._pending.append(lambda p: p.set_parameter(node, pid, value, when))
         else:
             self._program.set_parameter(node, pid, value, when)
+
+    def _set_parameter_normalized(self, node, pid, normalized, at):
+        when = self._when(at)
+        if self._program is None:
+            self._pending.append(
+                lambda p: p.set_parameter_normalized(node, pid, normalized, when))
+        else:
+            self._program.set_parameter_normalized(node, pid, normalized, when)
+
+    def remove_all_pending_events(self, at: Optional[int] = None):
+        """Clear every scheduled parameter/stop event at or after ``at``
+        (reference: MixerMessage::RemoveAllPendingEvents)."""
+        when = self._when(at)
+        if self._program is None:
+            self._pending.append(lambda p: p.remove_pending_events(None, when))
+        else:
+            self._program.remove_pending_events(None, when)
 
     def _set_parameter_glide(self, node, pid, value, rate, at):
         when = self._when(at)

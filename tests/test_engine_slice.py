@@ -186,3 +186,24 @@ def test_start_time_scheduling():
     assert np.all(out[:, :3000] == 0.0)
     assert np.max(np.abs(out[:, 3000:3100])) > 0.1
     assert out.shape[1] == 5000
+
+
+def test_normalized_parameter_and_pending_event_removal():
+    """ParameterValueUpdate::Normalized + MixerMessage::RemoveAllPendingEvents."""
+    from phonic_tpu.graph.engine import NEVER
+
+    main = Mixer("main")
+    src = FileSource(tone_buffer(), FilePlaybackOptions(fade_out_secs=0.0))
+    main.add_source(src)
+    prog = RenderProgram(main, CFG)
+    # normalized 1.0 on a Decibel-scaled volume = the max (+12 dB for VOLU)
+    prog.set_parameter_normalized(src, "VOLU", 1.0, at_frame=0)
+    tl = prog.timelines[(prog._resolve(src), "VOLU")]
+    assert tl.values[-1] == pytest.approx(src.param("VOLU").max)
+    # schedule junk, then wipe it
+    prog.set_parameter(src, "VOLU", 0.5, at_frame=5000)
+    prog.set_parameter(src, "PANN", -1.0, at_frame=6000)
+    prog.stop_source(src, at_frame=7000)
+    prog.remove_pending_events(after_frame=1000)
+    assert all(t < 1000 for t in tl.times)
+    assert prog.stop_frames[prog._resolve(src)] == NEVER
