@@ -51,6 +51,11 @@ class EngineConfig:
     # emit per-mixer peak/RMS levels from the block step (fused reductions;
     # the reference meters every mixer, src/source/metered.rs)
     meter_mixers: bool = False
+    # skip effects whose input has been silent longer than tail + 2 s
+    # (reference: EffectProcessor auto-bypass, src/source/mixed/effect.rs).
+    # A true lax.cond: leave OFF for vmapped-lane batch rendering, where
+    # conditionals execute both branches.
+    auto_bypass: bool = False
     # dtype used for audio samples.
     dtype: jnp.dtype = jnp.float32
     # dtype used for recursive filter state / associative scans.  float32 is

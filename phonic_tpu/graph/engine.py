@@ -366,8 +366,16 @@ class RenderProgram:
                 smoothers[key] = smoothing.spring_smoother_init(v)
             else:
                 smoothers[key] = v  # stepped: carry the current target
-        return {"nodes": node_states, "smoothers": smoothers,
-                "file_batches": file_batches}
+        st = {"nodes": node_states, "smoothers": smoothers,
+              "file_batches": file_batches}
+        if self.config.auto_bypass:
+            # effects start bypassed until audio arrives (reference:
+            # EffectProcessor starts in the stopped state, effect.rs:94-107)
+            st["bypass"] = {
+                path: jnp.int32(1 << 30)
+                for path, kind, _ in self.root.walk() if kind == "effect"
+            }
+        return st
 
     def block_inputs(self, block_index: int):
         """Host-side lowering of one block's events (NumPy pytree)."""
@@ -476,6 +484,7 @@ class RenderProgram:
                 batch_out[p] = out[i]
 
         mixer_levels = {}
+        new_bypass = {}
 
         def render_mixer(m: Mixer, prefix: str):
             acc = jnp.zeros((self.ctx.channels, self.ctx.block_frames), self.config.dtype)
@@ -504,7 +513,31 @@ class RenderProgram:
                 values["_frame0"] = frame0
                 for k, v in inputs.get("extra", {}).get(path, {}).items():
                     values[k] = jnp.asarray(v)
-                ns, acc = e.process(state["nodes"][path], acc, values, self.ctx)
+                if self.config.auto_bypass:
+                    # EffectProcessor auto-bypass (reference: silence
+                    # threshold -60 dB + tail + 2 s window before skipping,
+                    # src/source/mixed/effect.rs:10-153).  A true lax.cond:
+                    # bypassed effects cost one peak reduction per block.
+                    # (Under vmapped lanes a cond runs both branches, so
+                    # batched/offline configs leave auto_bypass off.)
+                    age0 = state["bypass"][path]
+                    n_ = self.ctx.block_frames
+                    limit = e.tail_frames(self.ctx) + 2 * self.ctx.sample_rate
+                    in_silent = jnp.max(jnp.abs(acc)) <= 1e-3
+                    bypass = in_silent & (age0 >= limit)
+                    est = state["nodes"][path]
+                    ns, acc = jax.lax.cond(
+                        bypass,
+                        lambda st, x: (st, x),
+                        lambda st, x: e.process(st, x, values, self.ctx),
+                        est, acc,
+                    )
+                    new_bypass[path] = jnp.minimum(
+                        jnp.where(in_silent, age0 + n_, 0), 1 << 30
+                    ).astype(jnp.int32)
+                else:
+                    ns, acc = e.process(state["nodes"][path], acc, values,
+                                        self.ctx)
                 new_nodes[path] = ns
             # per-mixer metering (reference: MeteredSource on every mixer,
             # src/player.rs:444-459): fused reductions, nearly free
@@ -517,6 +550,8 @@ class RenderProgram:
         audio = render_mixer(self.root, "")
         new_state = {"nodes": new_nodes, "smoothers": new_smoothers,
                      "file_batches": new_batches}
+        if self.config.auto_bypass:
+            new_state["bypass"] = new_bypass
         if self.config.meter_mixers:
             return new_state, (audio, mixer_levels)
         return new_state, audio

@@ -213,6 +213,7 @@ class Player:
             block_frames=self.config.block_frames,
             max_events_per_block=self.config.max_events_per_block,
             meter_mixers=True,
+            auto_bypass=True,
         )
         self.main_mixer = Mixer("main")
         # master gain (the analog of the player's smoothed master volume,

@@ -207,3 +207,27 @@ def test_normalized_parameter_and_pending_event_removal():
     prog.remove_pending_events(after_frame=1000)
     assert all(t < 1000 for t in tl.times)
     assert prog.stop_frames[prog._resolve(src)] == NEVER
+
+
+def test_effect_auto_bypass_matches_active_render():
+    """EffectProcessor auto-bypass (reference mixed/effect.rs): with the
+    cond enabled, audible output is identical and the bypass counter opens
+    the effect when audio arrives and re-bypasses after tail + 2 s."""
+    import dataclasses as _dc
+    from phonic_tpu.effects.gain import GainEffect
+
+    buf = tone_buffer(frames=4096)
+    for cfg in (CFG, _dc.replace(CFG, auto_bypass=True)):
+        main = Mixer("main")
+        src = FileSource(buf, FilePlaybackOptions(fade_out_secs=0.0,
+                                                  start_time=2048))
+        main.add_source(src)
+        main.add_effect(GainEffect(gain=0.5))
+        prog = RenderProgram(main, cfg)
+        out = np.asarray(prog.render(duration_frames=8 * 2048, mode="loop"))
+        if cfg.auto_bypass:
+            got_bypass = out
+        else:
+            got_plain = out
+    np.testing.assert_allclose(got_bypass, got_plain, atol=1e-7)
+    assert np.max(np.abs(got_plain)) > 0.1  # the tone actually played
