@@ -140,7 +140,7 @@ def granular_voice_block(
     n: int,
     sr: int,
     mono_buf,  # [frames] f32 (+ the engine keeps no guard here; wraps circularly)
-    loop_range,  # None or (start_norm, end_norm) floats
+    loop_range,  # traced (on, start_norm, end_norm) scalars; on<=0.5 = off
     note_start,  # i32 scalar: global frame of current note-on (resets pool)
     held,  # bool[n]: may trigger new grains (note held, pre-release)
     speed,  # f32[n]: effective voice speed (note * transpose * finetune)
@@ -175,19 +175,19 @@ def granular_voice_block(
     step_inc = step * (1.0 + speed_mod) / jnp.float32(frames)
     active_after_start = gframes >= note_start
     ph_raw = playhead0 + jnp.cumsum(jnp.where(active_after_start, step_inc, 0.0))
-    if loop_range is not None:
-        ls, le = float(loop_range[0]), float(loop_range[1])
-        ll = max(le - ls, 1e-9)
-        wrapped = jnp.mod(ph_raw, 1.0)
-        entered = jnp.cumsum(((wrapped >= ls) & (wrapped < le)).astype(jnp.int32)) > 0
-        entered = entered | (in_loop0 > 0.5)
-        folded = ls + jnp.mod(ph_raw - ls, ll)
-        playhead = jnp.where(entered, folded, wrapped)
-        in_loop_end = entered[-1].astype(jnp.float32)
-    else:
-        playhead = jnp.mod(ph_raw, 1.0)
-        entered = jnp.zeros((n,), bool)
-        in_loop_end = jnp.float32(0.0)
+    # loop bounds are traced per-block scalars (runtime SetLoopRange,
+    # granular.rs:516); loop_on <= 0.5 reduces exactly to the no-loop path
+    loop_on = jnp.asarray(loop_range[0]) > 0.5
+    ls = jnp.asarray(loop_range[1], jnp.float32)
+    le = jnp.asarray(loop_range[2], jnp.float32)
+    ll = jnp.maximum(le - ls, 1e-9)
+    wrapped = jnp.mod(ph_raw, 1.0)
+    in_range = (wrapped >= ls) & (wrapped < le) & loop_on
+    entered = (jnp.cumsum(in_range.astype(jnp.int32)) > 0) | (in_loop0 > 0.5)
+    entered = entered & loop_on
+    folded = ls + jnp.mod(ph_raw - ls, ll)
+    playhead = jnp.where(entered, folded, wrapped)
+    in_loop_end = entered[-1].astype(jnp.float32)
 
     base_position = jnp.where(step == 0.0, position, playhead) + pos_mod
 
@@ -237,11 +237,8 @@ def granular_voice_block(
         spray_off = spr * draw(6) / jnp.float32(file_dur_secs)
 
         gpos = base_position[t_safe] + spray_off
-        lm = entered[t_safe] if loop_range is not None else jnp.asarray(False)
-        if loop_range is not None:
-            ls, le = float(loop_range[0]), float(loop_range[1])
-            ll = max(le - ls, 1e-9)
-            gpos = jnp.where(lm, ls + jnp.mod(gpos - ls, ll), gpos)
+        lm = entered[t_safe]
+        gpos = jnp.where(lm, ls + jnp.mod(gpos - ls, ll), gpos)
         gpos = jnp.mod(gpos, 1.0)
 
         gspeed = speed[t_safe] * jnp.exp2((sem1 + sem2) / 12.0)
@@ -308,13 +305,8 @@ def granular_voice_block(
     ) * slots["g_vol"][:, None]
 
     pos = slots["g_pos0"][:, None] + localf * slots["g_inc"][:, None]
-    if loop_range is not None:
-        ls, le = float(loop_range[0]), float(loop_range[1])
-        ll = max(le - ls, 1e-9)
-        folded = ls + jnp.mod(pos - ls, ll)
-        pos = jnp.where(slots["g_loop"][:, None] > 0.5, folded, jnp.mod(pos, 1.0))
-    else:
-        pos = jnp.mod(pos, 1.0)
+    pos_folded = ls + jnp.mod(pos - ls, ll)
+    pos = jnp.where(slots["g_loop"][:, None] > 0.5, pos_folded, jnp.mod(pos, 1.0))
 
     # Catmull-Rom read with circular wrap (granular.rs:899-933)
     fidx = pos * jnp.float32(frames - 1)

@@ -606,10 +606,11 @@ class Sampler(Generator):
         mono = state["buf"]
         gwin = state["gwin"]
         frames = mono.shape[0]
-        loop_norm = None
-        if self.buffer.loop_range is not None:
-            loop_norm = (self.buffer.loop_range[0] / self.buffer.frames,
-                         self.buffer.loop_range[1] / self.buffer.frames)
+        # runtime loop range, normalized over the source length
+        inv_len = 1.0 / float(self.buffer.frames)
+        loop_norm = (params["_loop_on"],
+                     params["_loop_start"] * np.float32(inv_len),
+                     params["_loop_end"] * np.float32(inv_len))
 
         i = jnp.arange(n, dtype=jnp.int32)
         frame0 = params["_frame0"].astype(jnp.int32)

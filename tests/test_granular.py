@@ -177,3 +177,29 @@ def test_granular_respects_envelope_and_block_splits():
     np.testing.assert_allclose(out_a, out_b, atol=2e-3)
     assert np.abs(out_a[:, :512]).max() == 0.0
     assert np.abs(out_a[:, 30000:]).max() < 1e-3  # released + decayed
+
+
+def test_runtime_loop_range_captures_grains():
+    """SamplerMessage::SetLoopRange in granular mode (granular.rs:516):
+    looping the silent half of the buffer starves the grains."""
+    N = 2048
+    CFG = EngineConfig(sample_rate=SR, channels=2, block_frames=N)
+    frames = SR
+    x = np.full(frames, 0.5, np.float32)
+    x[frames // 5 : 3 * frames // 10] = 0.0  # silent 20%..30% region
+    buf = AudioFileBuffer.from_array(x[None, :], SR)
+    s = Sampler(buf).with_granular_playback(
+        GranularConfig(size_ms=20.0, density_hz=60.0, position=0.0,
+                       step=1.0, spray=0.0))
+    s.note_on(60, volume=1.0, time=0)
+    # from block 2: loop the silent region; the travelling playhead enters
+    # it at ~0.2 s and is captured (loop-capture semantics)
+    s.set_loop_range((frames // 5, 3 * frames // 10), time=2 * N)
+    main = Mixer("main")
+    main.add_source(s)
+    prog = RenderProgram(main, CFG)
+    out = np.asarray(prog.render(duration_frames=14 * N))
+    loud = np.sqrt(np.mean(out[0, 2 * N : 4 * N] ** 2))
+    quiet = np.sqrt(np.mean(out[0, 9 * N :] ** 2))
+    assert loud > 0.05, loud
+    assert quiet < loud * 0.05, (loud, quiet)
