@@ -141,46 +141,42 @@ class ReverbEffect(Effect):
         bq_a, filt_a = filters.tpt_process(state["bq_a"], delayed_in, coefs_a, dtype=jnp.float32)
         drive_in = jnp.sin(filt_a * wet[None, :])
 
-        # ---- 4 cascaded allpasses, each a sub-block feedback scan ----------
-        ap_buf = state["ap_buf"]
-        ap_pos = state["ap_pos"]
-        signal = drive_in
-        new_ap_buf = []
-        new_ap_pos = []
-        for a in range(4):
-            buf = ap_buf[a]
-            period = ap_delay[a] + 1
-            pos0 = ap_pos[a]
+        # ---- 4 cascaded allpasses in ONE sub-block feedback scan -----------
+        # Within a sub-block (< min allpass delay), stage a+1's sample j
+        # depends only on stage a's sample j and its own >=775-sample-old
+        # buffer, so all four stages chain inside one scan step — same math
+        # as four separate scans, a quarter of the scan overhead.
+        ap_buf = state["ap_buf"]  # [4, 2, S]
+        ap_pos = state["ap_pos"]  # [4]
+        ap_periods = [ap_delay[a] + 1 for a in range(4)]
 
-            def ap_step(carry, idx):
-                buf_c, = carry
-                t0 = idx * b_ap
-                j = jnp.arange(b_ap, dtype=jnp.int32)
-                wpos = jnp.mod(pos0 + t0 + j, period)
-                rpos = jnp.mod(wpos + 1, period)
-                delayed = jnp.take(buf_c, rpos, axis=-1)  # [2, B]
-                x_j = jax.lax.dynamic_slice(
-                    signal, (jnp.zeros_like(t0), t0), (2, b_ap)
-                )
-                w = x_j - delayed * 0.5
-                out = w * 0.5 + delayed
-                buf_c = buf_c.at[:, wpos].set(w)
-                return (buf_c,), out
-
-            (buf,), outs = jax.lax.scan(
-                ap_step, (buf,), jnp.arange(n // b_ap, dtype=jnp.int32)
+        def ap_step(buf4, idx):
+            t0 = idx * b_ap
+            j = jnp.arange(b_ap, dtype=jnp.int32)
+            sig = jax.lax.dynamic_slice(
+                drive_in, (jnp.zeros_like(t0), t0), (2, b_ap)
             )
-            signal = jnp.moveaxis(outs, 0, 1).reshape(2, n)
-            new_ap_buf.append(buf)
-            new_ap_pos.append(jnp.mod(pos0 + n, period))
-            if a == 0:
-                ap_i = signal
-            elif a == 1:
-                ap_j = signal
-            elif a == 2:
-                ap_k = signal
-            else:
-                ap_l = signal
+            stage_outs = []
+            for a in range(4):
+                wpos = jnp.mod(ap_pos[a] + t0 + j, ap_periods[a])
+                rpos = jnp.mod(wpos + 1, ap_periods[a])
+                row = buf4[a]  # [2, S]
+                delayed = jnp.take(row, rpos, axis=-1)  # [2, B]
+                w = sig - delayed * 0.5
+                sig = w * 0.5 + delayed
+                buf4 = buf4.at[a].set(row.at[:, wpos].set(w))
+                stage_outs.append(sig)
+            return buf4, jnp.stack(stage_outs)  # [4, 2, B]
+
+        ap_buf, outs = jax.lax.scan(
+            ap_step, ap_buf, jnp.arange(n // b_ap, dtype=jnp.int32)
+        )
+        stages = jnp.moveaxis(outs, 0, -2).reshape(4, 2, n)
+        ap_i, ap_j, ap_k, ap_l = stages[0], stages[1], stages[2], stages[3]
+        new_ap_buf = ap_buf
+        new_ap_pos = jnp.stack(
+            [jnp.mod(ap_pos[a] + n, ap_periods[a]) for a in range(4)]
+        )
 
         # FDN line inputs (reverb.rs:275-283): a/h <- allpass L, b/g <- K,
         # c/f <- J, d/e <- I
@@ -256,7 +252,7 @@ class ReverbEffect(Effect):
 
         new_state = {
             "pre": pre, "bq_a": bq_a, "bq_b": bq_b, "bq_c": bq_c,
-            "ap_buf": jnp.stack(new_ap_buf), "ap_pos": jnp.stack(new_ap_pos),
+            "ap_buf": new_ap_buf, "ap_pos": new_ap_pos,
             "line_buf": line_buf, "line_count": line_count,
             "vib_phase": vib_phase, "fb": fb,
         }
