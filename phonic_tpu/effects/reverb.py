@@ -69,6 +69,23 @@ class ReverbEffect(Effect):
         self.room_size = float(room_size)
         self.wet = float(wet)
         self.seed = seed
+        self._resets: list[int] = []
+
+    def reset(self, time: int = 0):
+        """Flush all delay lines at block granularity
+        (reference: ReverbEffectMessage::Reset, reverb.rs:470-494)."""
+        self._resets.append(int(time))
+
+    def handle_message(self, message, time: int = 0):
+        if message in ("reset", ("reset",)):
+            self.reset(time)
+        else:
+            raise ValueError(f"unknown reverb message {message!r}")
+
+    def lower_block_inputs(self, block_start: int, block_len: int):
+        hit = any(block_start <= t < block_start + block_len
+                  for t in self._resets)
+        return {"_reset": np.float32(1.0 if hit else 0.0)}
 
     def param_initials(self):
         return {ROOM_SIZE.id: self.room_size, WET.id: self.wet}
@@ -114,6 +131,17 @@ class ReverbEffect(Effect):
         n = ctx.block_frames
         sr = ctx.sample_rate
         b_ap, b_fdn = self._subblocks(ctx)
+
+        # scheduled Reset: zero the delay lines and filter states at block
+        # start (vibrato phases keep their random seeds, like the
+        # reference's reset which only flushes buffers)
+        rst = params.get("_reset", jnp.float32(0.0)) > 0.5
+        state = {
+            k: (v if k == "vib_phase" else jax.tree.map(
+                lambda a: jnp.where(rst, jnp.zeros_like(a), a)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, v))
+            for k, v in state.items()
+        }
 
         room = params[ROOM_SIZE.id]  # [n] linear-smoothed
         wet = params[WET.id]  # [n] exp-smoothed

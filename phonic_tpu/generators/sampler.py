@@ -188,13 +188,14 @@ class Sampler(Generator):
             loop_range = (start, end)
         self._loop_msgs.append((int(time), loop_range))
 
-    def handle_message(self, message):
+    def handle_message(self, message, time: int = 0):
         """Generic message hook: accepts ('set_loop_range', range) tuples or
         a bare range/None (reference: Generator::process_message)."""
-        if isinstance(message, tuple) and len(message) == 2 and                 message[0] == "set_loop_range":
-            self.set_loop_range(message[1])
+        if isinstance(message, tuple) and len(message) == 2 and \
+                message[0] == "set_loop_range":
+            self.set_loop_range(message[1], time=time)
         else:
-            self.set_loop_range(message)
+            self.set_loop_range(message, time=time)
 
     def _loop_at(self, t: int):
         """Loop range in effect at output frame ``t``."""

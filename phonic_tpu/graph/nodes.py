@@ -64,7 +64,7 @@ class Node:
         raise NotImplementedError
 
     # --- non-audio control messages (reference: Effect::process_message) ---
-    def handle_message(self, message) -> None:
+    def handle_message(self, message, time: int = 0) -> None:
         """Host-side message hook (e.g. reverb Reset).  Default: ignore."""
         return None
 

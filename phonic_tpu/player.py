@@ -103,8 +103,11 @@ class _Handle:
         (reference: ParameterValueUpdate::Normalized)."""
         self._player._set_parameter_normalized(self._node, pid, normalized, at)
 
-    def send_message(self, message):
-        self._node.handle_message(message)
+    def send_message(self, message, at: Optional[int] = None):
+        """Deliver a node-specific message (reference: send_message on the
+        effect/generator handles); applies at the block containing ``at``
+        (default: the current playback position)."""
+        self._node.handle_message(message, time=self._player._when(at))
 
 
 class PlaybackHandle(_Handle):

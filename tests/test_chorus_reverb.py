@@ -116,3 +116,30 @@ def test_reverb_rings_out():
     assert early > 1e-3
     assert 0 < late < early  # decaying but still ringing
     assert node.tail_frames(BuildCtx(SR, 2, 4096, 8)) > 48000
+
+
+def test_reverb_reset_flushes_tail():
+    """ReverbEffectMessage::Reset (reverb.rs:470-494): a scheduled reset
+    silences the ringing tail at the next block boundary."""
+    from phonic_tpu import (AudioFileBuffer, EngineConfig, FilePlaybackOptions,
+                            FileSource, Mixer, RenderProgram)
+    from phonic_tpu.effects.reverb import ReverbEffect
+
+    n = 2048
+    cfg = EngineConfig(sample_rate=SR, channels=2, block_frames=n,
+                       batch_sources=False)
+    frames = SR // 2
+    t = np.arange(frames) / SR
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t) * np.exp(-t * 30)).astype(np.float32)
+    buf = AudioFileBuffer.from_array(np.stack([x, x]), SR)
+    main = Mixer("main")
+    main.add_source(FileSource(buf, FilePlaybackOptions(fade_out_secs=0.0)))
+    rev = ReverbEffect(room_size=0.8, wet=1.0)
+    main.add_effect(rev)
+    rev.reset(time=8 * n)
+    prog = RenderProgram(main, cfg)
+    out = np.asarray(prog.render(duration_frames=12 * n, mode="loop"))
+    ringing = np.sqrt(np.mean(out[0, 6 * n : 8 * n] ** 2))
+    after = np.sqrt(np.mean(out[0, 8 * n : 9 * n] ** 2))
+    assert ringing > 1e-4, ringing
+    assert after < ringing * 0.02, (ringing, after)
