@@ -106,6 +106,10 @@ class ChorusEffect(Effect):
         total = total_ms * sr / 1000.0
         return max(int(math.ceil(total + total * math.log10(0.001) / math.log10(fb))), 1)
 
+    def max_tail_frames(self, ctx: BuildCtx) -> int:
+        # FEEDBACK is automatable to +-1.0 -> the "unknown tail" 10 s cap
+        return int(10 * ctx.sample_rate)
+
     def process(self, state, x, params, ctx: BuildCtx):
         if ctx.channels != 2:
             raise ValueError("ChorusEffect only supports stereo I/O")

@@ -102,6 +102,11 @@ class CompressorEffect(Effect):
     def tail_frames(self, ctx: BuildCtx) -> int:
         return self._delay_frames(ctx) + int(math.ceil(self.release * ctx.sample_rate))
 
+    def max_tail_frames(self, ctx: BuildCtx) -> int:
+        # RELEASE is automatable up to its range max (the lookahead delay
+        # line length is fixed at construction)
+        return self._delay_frames(ctx) + int(math.ceil(RELEASE.max * ctx.sample_rate))
+
     def process(self, state, x, params, ctx: BuildCtx):
         if ctx.channels != 2:
             raise ValueError("CompressorEffect only supports stereo I/O")

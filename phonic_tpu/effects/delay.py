@@ -143,6 +143,11 @@ class DelayEffect(Effect):
         decay = delay_samples + delay_samples * math.log10(0.001) / math.log10(fb)
         return max(int(math.ceil(decay)), 1)
 
+    def max_tail_frames(self, ctx: BuildCtx) -> int:
+        # FEEDBACK can be automated to 1.0 (and DRIVE above 0), which the
+        # analytic estimate treats as "unknown" -> the bounded 10 s stand-in
+        return int(10 * ctx.sample_rate)
+
     def process(self, state, x, params, ctx: BuildCtx):
         if ctx.channels != 2:
             raise ValueError("DelayEffect only supports stereo I/O")
@@ -247,7 +252,5 @@ class DelayEffect(Effect):
         new_state = {"ring": ring, "svf": svf, "dc": dc, "fb": fb_state, "lfo": lfo_state}
         return new_state, y
 
-    def handle_message(self, message) -> None:
-        # DelayEffectMessage::Reset analog is handled by the engine via
-        # reset_node() (state re-init)
-        return None
+    # DelayEffectMessage::Reset analog is handled by the engine via
+    # reset_node() (state re-init); the Node default handle_message applies.

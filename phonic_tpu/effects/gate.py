@@ -59,6 +59,10 @@ class GateEffect(Effect):
     def tail_frames(self, ctx: BuildCtx) -> int:
         return int((self.hold + self.release) * ctx.sample_rate) + 1
 
+    def max_tail_frames(self, ctx: BuildCtx) -> int:
+        # HOLD/RELEASE are automatable up to their range maxima
+        return int((HOLD.max + RELEASE.max) * ctx.sample_rate) + 1
+
     def process(self, state, x, params, ctx: BuildCtx):
         if ctx.channels != 2:
             raise ValueError("GateEffect only supports stereo I/O")

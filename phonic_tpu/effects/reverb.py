@@ -85,6 +85,10 @@ class ReverbEffect(Effect):
     def lower_block_inputs(self, block_start: int, block_len: int):
         hit = any(block_start <= t < block_start + block_len
                   for t in self._resets)
+        # Prune consumed resets: entries otherwise accumulate for the node's
+        # lifetime and a past reset would re-fire if the same range is ever
+        # re-lowered after a seek.
+        self._resets = [t for t in self._resets if t >= block_start + block_len]
         return {"_reset": np.float32(1.0 if hit else 0.0)}
 
     def param_initials(self):
@@ -107,16 +111,25 @@ class ReverbEffect(Effect):
             "fb": jnp.zeros((8, 2), jnp.float32),
         }
 
-    def tail_frames(self, ctx: BuildCtx) -> int:
+    @staticmethod
+    def _tail_for_room(room: float, sample_rate: int) -> int:
         """reference: reverb.rs:449-467."""
-        size = self.room_size**2 * 75.0 + 25.0
+        size = room * room * 75.0 + 25.0
         max_delay = int(79.0 * size)
-        fb = 1.0 - (1.0 - (0.82 - ((1.0 - self.room_size) * 0.7 + size * 0.002))) ** 4
+        fb = 1.0 - (1.0 - (0.82 - ((1.0 - room) * 0.7 + size * 0.002))) ** 4
         if fb >= 1.0:
-            return int(20 * ctx.sample_rate)
+            return int(20 * sample_rate)
         if fb <= 0.0:
             return max_delay
         return max_delay + int(max_delay * math.log10(0.001) / math.log10(fb))
+
+    def tail_frames(self, ctx: BuildCtx) -> int:
+        return self._tail_for_room(self.room_size, ctx.sample_rate)
+
+    def max_tail_frames(self, ctx: BuildCtx) -> int:
+        # ROOM_SIZE is automatable to 1.0; the analytic decay is monotonic in
+        # room, so the range maximum is the worst case (~54 s at 48 kHz)
+        return self._tail_for_room(ROOM_SIZE.max, ctx.sample_rate)
 
     def _subblocks(self, ctx: BuildCtx):
         # smallest size = 25 (room 0): min allpass delay 31*25=775, min line
@@ -267,8 +280,15 @@ class ReverbEffect(Effect):
             fdn_step, carry0, jnp.arange(n // b_fdn, dtype=jnp.int32)
         )
         wet_sig = jnp.moveaxis(outs, 0, 1).reshape(2, n)
-        # vibrato phase advances by inc per sample across the whole block
-        vib_phase = state["vib_phase"] + jnp.asarray(_VIB_DEPTHS * VIB_SPEED, jnp.float32)[:, None] * n
+        # vibrato phase advances by inc per sample across the whole block;
+        # wrap to [0, 2pi) so the accumulator never outgrows float32
+        # resolution (unwrapped, the ~3e-4 per-sample increment drops below
+        # the representable step after about an hour of playback)
+        vib_phase = jnp.mod(
+            state["vib_phase"]
+            + jnp.asarray(_VIB_DEPTHS * VIB_SPEED, jnp.float32)[:, None] * n,
+            jnp.float32(2.0 * math.pi),
+        )
 
         # ---- output chain: biquad B -> clamp -> asin -> biquad C -> + dry --
         coefs_b = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 0.618034)

@@ -522,7 +522,11 @@ class RenderProgram:
                     # batched/offline configs leave auto_bypass off.)
                     age0 = state["bypass"][path]
                     n_ = self.ctx.block_frames
-                    limit = e.tail_frames(self.ctx) + 2 * self.ctx.sample_rate
+                    # worst-case tail over the parameter RANGES: runtime
+                    # automation can push feedback/room size past the
+                    # construction-time estimate, and bypassing a still-
+                    # ringing effect would freeze its tail mid-decay
+                    limit = e.max_tail_frames(self.ctx) + 2 * self.ctx.sample_rate
                     in_silent = jnp.max(jnp.abs(acc)) <= 1e-3
                     bypass = in_silent & (age0 >= limit)
                     est = state["nodes"][path]

@@ -83,6 +83,14 @@ class Effect(Node):
     def tail_frames(self, ctx: BuildCtx) -> int:
         return 0
 
+    def max_tail_frames(self, ctx: BuildCtx) -> int:
+        """Worst-case tail over the full automatable parameter ranges.  The
+        auto-bypass limit uses this, not ``tail_frames``: construction-time
+        values like feedback/room size can be raised live, and the bypass
+        must never engage while a longer runtime tail is still ringing
+        (reference keeps a silence counter instead, effect.rs:110-145)."""
+        return self.tail_frames(ctx)
+
 
 class Source(Node):
     """Produces audio; x is None.  ``duration_frames`` returns the total

@@ -38,7 +38,12 @@ def ring_read_frac(ring: Ring, offsets):
     float32 >= 0.  Returns [channels, ...]."""
     r = ring.buf.shape[-1]
     mask = r - 1
-    pos = ring.wpos.astype(jnp.float32) - jnp.asarray(offsets, jnp.float32)
+    # Reduce wpos mod R BEFORE the float cast: wpos itself grows to 2^30 and
+    # would lose integer precision past 2^24 in float32 (wrong slots + frac
+    # quantized to 0 after ~6 min at 48 kHz).  wpos & mask and the offsets are
+    # both bounded by R, so the reduced arithmetic is exact; a negative pos is
+    # fine (floor + two's-complement masking wrap it correctly).
+    pos = (ring.wpos & mask).astype(jnp.float32) - jnp.asarray(offsets, jnp.float32)
     ip = jnp.floor(pos)
     frac = (pos - ip).astype(ring.buf.dtype)
     i1 = ip.astype(jnp.int32) & mask
