@@ -141,8 +141,8 @@ def bench_program(prog, min_iters=10, min_secs=1.0, lanes=1):
         step = b.step
     else:
         state = prog.init_state()
-        inputs = prog.block_inputs(0)
-        step = jax.jit(prog._step)
+        inputs = prog.packed_block_inputs(0)
+        step = prog.step_packed
     state, audio = step(state, inputs)
     jax.block_until_ready(audio)
     iters = 0

@@ -48,6 +48,11 @@ class EngineConfig:
     max_events_per_block: int = 16
     # render homogeneous FileSources as vmapped lane banks (graph/batching.py)
     batch_sources: bool = True
+    # vmap sibling mixers' identical effect chains into one batched run (the
+    # TPU analog of the reference's sub-mixer thread pool; see
+    # Effect.batch_key).  Disabled automatically when auto_bypass is on
+    # (a lax.cond under vmap runs both branches).
+    batch_effects: bool = True
     # emit per-mixer peak/RMS levels from the block step (fused reductions;
     # the reference meters every mixer, src/source/metered.rs)
     meter_mixers: bool = False

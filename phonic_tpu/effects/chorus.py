@@ -81,6 +81,10 @@ class ChorusEffect(Effect):
         min_pos = 2.0 + self.min_delay_ms * ctx.sample_rate / 1000.0
         return ring_ops.pick_subblock(min_pos, ctx.block_frames, cap=512)
 
+    def batch_key(self, ctx: BuildCtx):
+        # sub-block size is baked into the trace
+        return (type(self).__name__, self._subblock(ctx))
+
     def init_state(self, ctx: BuildCtx):
         sr = ctx.sample_rate
         lfo_range = MAX_RANGE_SAMPLES * sr / 44100.0

@@ -91,6 +91,10 @@ class CompressorEffect(Effect):
     def _delay_frames(self, ctx: BuildCtx) -> int:
         return int(math.ceil(self.lookahead * ctx.sample_rate))
 
+    def batch_key(self, ctx: BuildCtx):
+        # lookahead sets the delay-line length used while tracing
+        return (type(self).__name__, self._delay_frames(ctx))
+
     def init_state(self, ctx: BuildCtx):
         d = self._delay_frames(ctx)
         return {

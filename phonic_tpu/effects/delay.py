@@ -119,6 +119,10 @@ class DelayEffect(Effect):
         min_delay = self.min_delay_ms * ctx.sample_rate / 1000.0
         return ring_ops.pick_subblock(min_delay, ctx.block_frames)
 
+    def batch_key(self, ctx: BuildCtx):
+        # sub-block size and the LFO RNG seed are baked into the trace
+        return (type(self).__name__, self._subblock(ctx), self.seed)
+
     def init_state(self, ctx: BuildCtx):
         max_samples = int(math.ceil(
             (MAX_DELAY_MS + MAX_LFO_TIME_MOD_MS) * ctx.sample_rate / 1000.0

@@ -145,6 +145,11 @@ class DistortionEffect(Effect):
     PARAMS = (DIST_TYPE, DRIVE, MIX)
     WEIGHT = 1
 
+    def batch_key(self, ctx: BuildCtx):
+        # process() reads no per-instance statics: any two
+        # instances trace identically and can share one vmapped run
+        return (type(self).__name__,)
+
     def init_state(self, ctx: BuildCtx):
         # the RMS-compensation LUT rides in the state pytree: an embedded
         # jaxpr constant would be re-staged to the device on every execution

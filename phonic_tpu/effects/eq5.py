@@ -66,6 +66,11 @@ class Eq5Effect(Effect):
             d[BANDWIDTHS[i].id] = self.bandwidths[i]
         return d
 
+    def batch_key(self, ctx: BuildCtx):
+        # process() reads no per-instance statics: any two
+        # instances trace identically and can share one vmapped run
+        return (type(self).__name__,)
+
     def init_state(self, ctx: BuildCtx):
         return {f"band{i}": filters.tpt_state_init((ctx.channels,)) for i in range(5)}
 

@@ -46,6 +46,11 @@ class FilterEffect(Effect):
             Q.id: self.q,
         }
 
+    def batch_key(self, ctx: BuildCtx):
+        # process() reads no per-instance statics: any two
+        # instances trace identically and can share one vmapped run
+        return (type(self).__name__,)
+
     def init_state(self, ctx: BuildCtx):
         return {"tpt": filters.tpt_state_init((ctx.channels,))}
 

@@ -35,6 +35,11 @@ class GainEffect(Effect):
     def param_initials(self):
         return {GAIN.id: self.gain, DC_MODE.id: DC_MODE.index_of(self.dc_mode)}
 
+    def batch_key(self, ctx: BuildCtx):
+        # process() reads no per-instance statics: any two
+        # instances trace identically and can share one vmapped run
+        return (type(self).__name__,)
+
     def init_state(self, ctx: BuildCtx):
         return {"dc": filters.dc_state_init((ctx.channels,))}
 

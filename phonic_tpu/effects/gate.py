@@ -49,6 +49,11 @@ class GateEffect(Effect):
             HOLD.id: self.hold, RELEASE.id: self.release, RANGE.id: self.range_db,
         }
 
+    def batch_key(self, ctx: BuildCtx):
+        # process() reads no per-instance statics: any two
+        # instances trace identically and can share one vmapped run
+        return (type(self).__name__,)
+
     def init_state(self, ctx: BuildCtx):
         return {
             "env": jnp.float32(-120.0),

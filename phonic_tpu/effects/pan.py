@@ -37,6 +37,11 @@ class PanningEffect(Effect):
             INVERT_R.id: 1.0 if self.invert_r else 0.0,
         }
 
+    def batch_key(self, ctx: BuildCtx):
+        # process() reads no per-instance statics: any two
+        # instances trace identically and can share one vmapped run
+        return (type(self).__name__,)
+
     def process(self, state, x, params, ctx: BuildCtx):
         if ctx.channels != 2:
             raise ValueError("PanningEffect only supports stereo I/O")

@@ -94,6 +94,11 @@ class ReverbEffect(Effect):
     def param_initials(self):
         return {ROOM_SIZE.id: self.room_size, WET.id: self.wet}
 
+    def batch_key(self, ctx: BuildCtx):
+        # process() reads no per-instance statics: any two
+        # instances trace identically and can share one vmapped run
+        return (type(self).__name__,)
+
     def init_state(self, ctx: BuildCtx):
         rng = np.random.default_rng(self.seed)
         vib_phase = rng.uniform(0.0, 2.0 * math.pi, size=(8, 2)).astype(np.float32)

@@ -74,11 +74,19 @@ class RenderProgram:
             }
         self._build_param_groups()
         self._build_source_batches()
+        self._build_effect_batches()
         # scheduled stop/kill frames per source path (NEVER = none)
         self.stop_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
         self.kill_frames: dict[str, int] = {p: NEVER for p in self.source_paths}
         # no buffer donation: init-state zeros alias across nodes
         self._jit_step = jax.jit(self._step)
+        # packed-input fast path: all of a block's host inputs ride in ONE
+        # flat array per dtype (a handful of host->device transfers instead
+        # of one per pytree leaf — the per-leaf dispatch latency dominates
+        # block stepping on remote TPU backends)
+        self._pack_spec = None
+        self._pack_version = 0
+        self._jit_step_packed = jax.jit(self._step_packed, static_argnums=2)
 
     def jit_cache_size(self) -> int:
         """Number of compiled variants of the block step.  The analog of the
@@ -86,9 +94,67 @@ class RenderProgram:
         steady-state rendering must never recompile — assert this stays at 1
         after warmup (shape-changing inputs are an engine bug)."""
         try:
-            return self._jit_step._cache_size()
+            return max(self._jit_step._cache_size(),
+                       self._jit_step_packed._cache_size())
         except AttributeError:
             return -1
+
+    # ------------------------------------------------------------------
+    # packed block inputs (host->device transfer coalescing)
+    # ------------------------------------------------------------------
+
+    def _build_pack_spec(self, inputs):
+        leaves, treedef = jax.tree.flatten(inputs)
+        spec_leaves = []
+        sizes: dict[str, int] = {}
+        for leaf in leaves:
+            a = np.asarray(leaf)
+            key = str(a.dtype)
+            off = sizes.get(key, 0)
+            spec_leaves.append((key, off, a.shape, int(a.size)))
+            sizes[key] = off + int(a.size)
+        return {"treedef": treedef, "leaves": spec_leaves, "sizes": sizes}
+
+    def pack_inputs(self, inputs):
+        """Pack a block-inputs pytree into one flat numpy array per dtype.
+        The spec (leaf order/offsets) is cached; a structure change (e.g.
+        the first note event lowering new arrays) bumps ``_pack_version`` so
+        the packed step retraces against the new layout."""
+        leaves, treedef = jax.tree.flatten(inputs)
+        spec = self._pack_spec
+        if (spec is None or treedef != spec["treedef"]
+                or len(leaves) != len(spec["leaves"])
+                or any(np.asarray(l).shape != s[2] or str(np.asarray(l).dtype) != s[0]
+                       for l, s in zip(leaves, spec["leaves"]))):
+            spec = self._build_pack_spec(inputs)
+            self._pack_spec = spec
+            self._pack_version += 1
+        bufs = {k: np.empty((n,), dtype=np.dtype(k))
+                for k, n in spec["sizes"].items()}
+        for leaf, (key, off, _shape, size) in zip(leaves, spec["leaves"]):
+            bufs[key][off:off + size] = np.asarray(leaf).ravel()
+        return bufs
+
+    def packed_block_inputs(self, block_index: int):
+        return self.pack_inputs(self.block_inputs(block_index))
+
+    def _unpack_inputs(self, packed):
+        """Traced: rebuild the block-inputs pytree from the packed arrays
+        with static slices (they fuse away)."""
+        spec = self._pack_spec
+        leaves = [packed[key][off:off + size].reshape(shape)
+                  for key, off, shape, size in spec["leaves"]]
+        return jax.tree.unflatten(spec["treedef"], leaves)
+
+    def _step_packed(self, state, packed, _spec_version=0):
+        # _spec_version is a static retrace key: same-shaped packed arrays
+        # with a different leaf layout must not hit a stale compilation
+        return self._step(state, self._unpack_inputs(packed))
+
+    def step_packed(self, state, packed):
+        """Jitted block step over packed inputs — the production stepping
+        path (render loop mode, Player pump, benchmarks)."""
+        return self._jit_step_packed(state, packed, self._pack_version)
 
     def _build_param_groups(self):
         """Group every (node, parameter) by smoother kind + coefficient so a
@@ -134,6 +200,74 @@ class RenderProgram:
             for i, p in enumerate(paths):
                 self._batched_row[p] = (gid, i)
             gid += 1
+
+    def _share_control_from(self, other: "RenderProgram"):
+        """Lower blocks with ``other``'s control state (timelines, stop/kill
+        schedules).  Used by BatchedRenderProgram's scalar-effects twin: the
+        twin re-traces the same graph with batch_effects off (nested vmap of
+        batched effect chains is slower under lane-vmap), while automation
+        scheduled on the original program keeps flowing into the lowered
+        blocks.  Both programs must be built from the same root."""
+        if other.root is not self.root:
+            raise ValueError("control sharing requires the same graph root")
+        self.timelines = other.timelines
+        self.stop_frames = other.stop_frames
+        self.kill_frames = other.kill_frames
+        for path, node in self.nodes.items():
+            node._timelines = {p.id: self.timelines[(path, p.id)]
+                               for p in node.PARAMS}
+
+    def _build_effect_batches(self):
+        """Group sibling mixers whose effect chains have identical batch-key
+        signatures; each group's chains run as ONE vmapped chain over a
+        [lanes, channels, n] stack (the TPU analog of the reference's
+        sub-mixer thread pool, src/source/mixed/submixer/thread_pool.rs:
+        278-334 — there the win is threads, here it is collapsing G copies
+        of every effect's scan into one batched scan).
+
+        ``self.effect_batches[gid]`` holds the lane mixers' effect lists and
+        paths; ``self._batched_mixer`` maps a child mixer path to its
+        (gid, lane); ``self._batched_effect_paths`` is the set of effect
+        paths whose state lives stacked in state["effect_batches"] instead
+        of state["nodes"]."""
+        self.effect_batches: dict[int, dict] = {}
+        self._batched_mixer: dict[str, tuple[int, int]] = {}
+        self._batched_effect_paths: set[str] = set()
+        self._eff_loc: dict[str, tuple[int, int, int]] = {}  # path -> gid, i, lane
+        if not getattr(self.config, "batch_effects", True) or self.config.auto_bypass:
+            return
+
+        def visit(m: Mixer, prefix: str):
+            me = f"{prefix}{m.name}"
+            groups: dict[tuple, list[Mixer]] = {}
+            for c in m.children:
+                if not c.effects:
+                    continue
+                sig = tuple(e.batch_key(self.ctx) for e in c.effects)
+                if all(k is not None for k in sig):
+                    groups.setdefault(sig, []).append(c)
+            for sig, cs in groups.items():
+                if len(cs) < 2:
+                    continue
+                gid = len(self.effect_batches)
+                paths = [f"{me}/{c.name}" for c in cs]
+                epaths = [[f"{p}/{e.name}" for e in c.effects]
+                          for p, c in zip(paths, cs)]
+                self.effect_batches[gid] = {
+                    "parent": me, "mixer_paths": paths, "mixers": list(cs),
+                    "effects": [list(c.effects) for c in cs],
+                    "effect_paths": epaths,
+                }
+                for lane, p in enumerate(paths):
+                    self._batched_mixer[p] = (gid, lane)
+                for lane, eps in enumerate(epaths):
+                    for i, ep in enumerate(eps):
+                        self._batched_effect_paths.add(ep)
+                        self._eff_loc[ep] = (gid, i, lane)
+            for c in m.children:
+                visit(c, f"{me}/")
+
+        visit(self.root, "")
 
     def _index_nodes(self):
         self.nodes: dict[str, Node] = {}
@@ -245,18 +379,55 @@ class RenderProgram:
                 return b["base"][oi], b["frac"][oi], b["frac_lo"][oi]
             return None
 
+        def _tree_match(a, b):
+            la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+            return (jax.tree.structure(a) == jax.tree.structure(b)
+                    and len(la) == len(lb)
+                    and all(jnp.shape(x) == jnp.shape(y)
+                            for x, y in zip(la, lb)))
+
+        def _old_effect_state(path):
+            """Old per-effect state by path, whether it lived in nodes or in
+            a stacked effect batch."""
+            st = old_state["nodes"].get(path)
+            if st is not None:
+                return st
+            loc = getattr(old, "_eff_loc", {}).get(path)
+            if loc is not None:
+                gid, i, lane = loc
+                return jax.tree.map(lambda a: a[lane],
+                                    old_state["effect_batches"][gid][i])
+            return None
+
         # node states transfer wholesale when the pytree matches
         nodes = dict(new_state["nodes"])
         for path, st in old_state["nodes"].items():
             if path not in nodes:
                 continue
-            a = jax.tree.leaves(nodes[path])
-            b = jax.tree.leaves(st)
-            if (jax.tree.structure(nodes[path]) == jax.tree.structure(st)
-                    and len(a) == len(b)
-                    and all(jnp.shape(x) == jnp.shape(y)
-                            for x, y in zip(a, b))):
+            if _tree_match(nodes[path], st):
                 nodes[path] = st
+        # an effect that used to be batched and is now scalar
+        for path in list(nodes):
+            if path in getattr(old, "_eff_loc", {}) and path not in old_state["nodes"]:
+                ost = _old_effect_state(path)
+                if ost is not None and _tree_match(nodes[path], ost):
+                    nodes[path] = ost
+        # batched effect lanes: pull each lane's state from wherever it was
+        eff_batches = {}
+        for gid, per_i in new_state["effect_batches"].items():
+            g = self.effect_batches[gid]
+            per_i = list(per_i)
+            for i in range(len(per_i)):
+                for lane in range(len(g["effects"])):
+                    ost = _old_effect_state(g["effect_paths"][lane][i])
+                    if ost is None:
+                        continue
+                    proto = jax.tree.map(lambda a: a[lane], per_i[i])
+                    if _tree_match(proto, ost):
+                        per_i[i] = jax.tree.map(
+                            lambda nb, ol: nb.at[lane].set(ol), per_i[i], ost)
+            eff_batches[gid] = per_i
+        new_state["effect_batches"] = eff_batches
         # a file source that used to be batched and is now unbatched
         for path in list(nodes):
             if path in old._batched_row and path not in old_state["nodes"]                     and isinstance(nodes[path], dict) and "base" in nodes[path]:
@@ -341,7 +512,15 @@ class RenderProgram:
     def init_state(self):
         node_states = {
             path: node.init_state(self.ctx) for path, node in self.nodes.items()
+            if path not in self._batched_effect_paths
         }
+        effect_batches = {}
+        for gid, g in self.effect_batches.items():
+            per_i = []
+            for i in range(len(g["effects"][0])):
+                states = [effs[i].init_state(self.ctx) for effs in g["effects"]]
+                per_i.append(jax.tree.map(lambda *xs: jnp.stack(xs), *states))
+            effect_batches[gid] = per_i
         initials = {
             path: node.param_initials() for path, node in self.nodes.items()
         }
@@ -367,7 +546,8 @@ class RenderProgram:
             else:
                 smoothers[key] = v  # stepped: carry the current target
         st = {"nodes": node_states, "smoothers": smoothers,
-              "file_batches": file_batches}
+              "file_batches": file_batches,
+              "effect_batches": effect_batches}
         if self.config.auto_bypass:
             # effects start bypassed until audio arrives (reference:
             # EffectProcessor starts in the stopped state, effect.rs:94-107)
@@ -485,12 +665,104 @@ class RenderProgram:
 
         mixer_levels = {}
         new_bypass = {}
+        new_effect_batches = {}
 
-        def render_mixer(m: Mixer, prefix: str):
+        def _meter(y):
+            # per-mixer metering (reference: MeteredSource on every mixer,
+            # src/player.rs:444-459): fused reductions, nearly free
+            return (jnp.max(jnp.abs(y), axis=-1),
+                    jnp.sqrt(jnp.mean(jnp.square(y), axis=-1)))
+
+        def apply_effect(e, path, acc):
+            values = self._node_param_values(group_values, path, e)
+            values["_frame0"] = frame0
+            for k, v in inputs.get("extra", {}).get(path, {}).items():
+                values[k] = jnp.asarray(v)
+            if self.config.auto_bypass:
+                # EffectProcessor auto-bypass (reference: silence
+                # threshold -60 dB + tail + 2 s window before skipping,
+                # src/source/mixed/effect.rs:10-153).  A true lax.cond:
+                # bypassed effects cost one peak reduction per block.
+                # (Under vmapped lanes a cond runs both branches, so
+                # batched/offline configs leave auto_bypass off.)
+                age0 = state["bypass"][path]
+                n_ = self.ctx.block_frames
+                # worst-case tail over the parameter RANGES: runtime
+                # automation can push feedback/room size past the
+                # construction-time estimate, and bypassing a still-
+                # ringing effect would freeze its tail mid-decay
+                limit = e.max_tail_frames(self.ctx) + 2 * self.ctx.sample_rate
+                in_silent = jnp.max(jnp.abs(acc)) <= 1e-3
+                bypass = in_silent & (age0 >= limit)
+                est = state["nodes"][path]
+                ns, acc = jax.lax.cond(
+                    bypass,
+                    lambda st, x: (st, x),
+                    lambda st, x: e.process(st, x, values, self.ctx),
+                    est, acc,
+                )
+                new_bypass[path] = jnp.minimum(
+                    jnp.where(in_silent, age0 + n_, 0), 1 << 30
+                ).astype(jnp.int32)
+            else:
+                ns, acc = e.process(state["nodes"][path], acc, values, self.ctx)
+            new_nodes[path] = ns
+            return acc
+
+        def run_effect_batch(gid, x):
+            """Apply a batched sibling-mixer effect chain to x [G, ch, n]:
+            effect i of every lane runs as ONE vmapped call (lanes share the
+            prototype's trace; batch_key guarantees the statics match)."""
+            g = self.effect_batches[gid]
+            lanes = len(g["effects"])
+            extra = inputs.get("extra", {})
+            new_sts = []
+            for i in range(len(g["effects"][0])):
+                e0 = g["effects"][0][i]
+                pvals = {}
+                for p in e0.PARAMS:
+                    rows = []
+                    for lane in range(lanes):
+                        key, row = self._param_row[
+                            (g["effect_paths"][lane][i], p.id)]
+                        rows.append(group_values[key][row])
+                    pvals[p.id] = jnp.stack(rows)
+                dicts = [extra.get(g["effect_paths"][lane][i], {})
+                         for lane in range(lanes)]
+                for k in sorted(set().union(*[set(d) for d in dicts])):
+                    proto = jnp.asarray(next(d[k] for d in dicts if k in d))
+                    pvals[k] = jnp.stack([
+                        jnp.asarray(d[k]) if k in d else jnp.zeros_like(proto)
+                        for d in dicts])
+                pvals["_frame0"] = jnp.broadcast_to(frame0, (lanes,))
+                st = state["effect_batches"][gid][i]
+                fn = lambda s_, x_, p_, _e=e0: _e.process(s_, x_, p_, self.ctx)
+                st, x = jax.vmap(fn)(st, x, pvals)
+                new_sts.append(st)
+            new_effect_batches[gid] = new_sts
+            return x
+
+        def render_pre(m: Mixer, me: str):
+            """Children (plain + batched groups) and sources summed, BEFORE
+            m's own effect chain."""
             acc = jnp.zeros((self.ctx.channels, self.ctx.block_frames), self.config.dtype)
-            me = f"{prefix}{m.name}"
+            done_gids = set()
             for child in m.children:
-                acc = acc + render_mixer(child, f"{me}/")
+                loc = self._batched_mixer.get(f"{me}/{child.name}")
+                if loc is None:
+                    acc = acc + render_mixer(child, f"{me}/")
+                    continue
+                gid = loc[0]
+                if gid in done_gids:
+                    continue
+                done_gids.add(gid)
+                g = self.effect_batches[gid]
+                xs = jnp.stack([render_pre(c2, p2)
+                                for c2, p2 in zip(g["mixers"], g["mixer_paths"])])
+                xs = run_effect_batch(gid, xs)
+                for lane, p2 in enumerate(g["mixer_paths"]):
+                    mixer_levels[p2] = _meter(xs[lane])
+                acc = acc + jnp.sum(xs, axis=0)
             for s in m.sources:
                 path = f"{me}/{s.name}"
                 if path in self._batched_row:
@@ -507,53 +779,20 @@ class RenderProgram:
                 ns, y = s.process(state["nodes"][path], None, values, self.ctx)
                 new_nodes[path] = ns
                 acc = acc + y
+            return acc
+
+        def render_mixer(m: Mixer, prefix: str):
+            me = f"{prefix}{m.name}"
+            acc = render_pre(m, me)
             for e in m.effects:
-                path = f"{me}/{e.name}"
-                values = self._node_param_values(group_values, path, e)
-                values["_frame0"] = frame0
-                for k, v in inputs.get("extra", {}).get(path, {}).items():
-                    values[k] = jnp.asarray(v)
-                if self.config.auto_bypass:
-                    # EffectProcessor auto-bypass (reference: silence
-                    # threshold -60 dB + tail + 2 s window before skipping,
-                    # src/source/mixed/effect.rs:10-153).  A true lax.cond:
-                    # bypassed effects cost one peak reduction per block.
-                    # (Under vmapped lanes a cond runs both branches, so
-                    # batched/offline configs leave auto_bypass off.)
-                    age0 = state["bypass"][path]
-                    n_ = self.ctx.block_frames
-                    # worst-case tail over the parameter RANGES: runtime
-                    # automation can push feedback/room size past the
-                    # construction-time estimate, and bypassing a still-
-                    # ringing effect would freeze its tail mid-decay
-                    limit = e.max_tail_frames(self.ctx) + 2 * self.ctx.sample_rate
-                    in_silent = jnp.max(jnp.abs(acc)) <= 1e-3
-                    bypass = in_silent & (age0 >= limit)
-                    est = state["nodes"][path]
-                    ns, acc = jax.lax.cond(
-                        bypass,
-                        lambda st, x: (st, x),
-                        lambda st, x: e.process(st, x, values, self.ctx),
-                        est, acc,
-                    )
-                    new_bypass[path] = jnp.minimum(
-                        jnp.where(in_silent, age0 + n_, 0), 1 << 30
-                    ).astype(jnp.int32)
-                else:
-                    ns, acc = e.process(state["nodes"][path], acc, values,
-                                        self.ctx)
-                new_nodes[path] = ns
-            # per-mixer metering (reference: MeteredSource on every mixer,
-            # src/player.rs:444-459): fused reductions, nearly free
-            mixer_levels[me] = (
-                jnp.max(jnp.abs(acc), axis=-1),
-                jnp.sqrt(jnp.mean(jnp.square(acc), axis=-1)),
-            )
+                acc = apply_effect(e, f"{me}/{e.name}", acc)
+            mixer_levels[me] = _meter(acc)
             return acc
 
         audio = render_mixer(self.root, "")
         new_state = {"nodes": new_nodes, "smoothers": new_smoothers,
-                     "file_batches": new_batches}
+                     "file_batches": new_batches,
+                     "effect_batches": new_effect_batches}
         if self.config.auto_bypass:
             new_state["bypass"] = new_bypass
         if self.config.meter_mixers:
@@ -595,7 +834,7 @@ class RenderProgram:
         elif mode == "loop":
             chunks = []
             for b in range(num_blocks):
-                state, y = self._jit_step(state, self.block_inputs(b))
+                state, y = self.step_packed(state, self.packed_block_inputs(b))
                 chunks.append(np.asarray(y))
             audio = np.concatenate(chunks, axis=-1)
         else:

@@ -80,6 +80,17 @@ class Effect(Node):
     """Audio in -> audio out.  ``tail_frames`` advertises ring-out length for
     auto-bypass pruning (reference: src/effect.rs:190-215)."""
 
+    def batch_key(self, ctx: BuildCtx):
+        """Hashable key for cross-mixer effect batching, or None if this
+        effect cannot be vmapped together with others.  Two effects with
+        equal keys MUST trace identical programs from ``process`` (the key
+        must cover every static attribute ``process`` reads — runtime
+        parameters may differ per lane).  The engine batches sibling mixers
+        whose effect chains have pairwise-equal key tuples into one vmapped
+        chain (the TPU analog of the reference's sub-mixer thread pool,
+        src/source/mixed/submixer/thread_pool.rs:278-334)."""
+        return None
+
     def tail_frames(self, ctx: BuildCtx) -> int:
         return 0
 

@@ -43,7 +43,30 @@ class BatchedRenderProgram:
         self.lanes = lanes
         self.mesh = mesh
         self.mixdown = mixdown
-        vstep = jax.vmap(program._step)
+        # Under lane-vmap, in-lane effect batching is redundant (the lane
+        # axis already amortises every scan) and the nested vmap lowers
+        # measurably slower — step through a scalar-effects twin that shares
+        # the original program's control state.
+        if program.effect_batches:
+            import dataclasses
+            step_prog = RenderProgram(
+                program.root,
+                dataclasses.replace(program.config, batch_effects=False))
+            step_prog._share_control_from(program)
+        else:
+            step_prog = program
+        self._step_program = step_prog
+        # Input trade-off (measured on v5e): at few lanes the per-leaf
+        # host->device transfer latency dominates, so inputs ride PACKED
+        # (engine.pack_inputs, ~3 transfers); at wide lane counts the packed
+        # path's per-lane unpack slices cost more device time than the
+        # transfers save (~25% at 64 lanes), so plain pytree inputs win.
+        self._packed_inputs = lanes <= 16
+        if self._packed_inputs:
+            vstep = jax.vmap(
+                lambda st, pk: step_prog._step(st, step_prog._unpack_inputs(pk)))
+        else:
+            vstep = jax.vmap(step_prog._step)
 
         if mixdown:
             def step(states, inputs):
@@ -73,7 +96,8 @@ class BatchedRenderProgram:
         return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
     def init_states(self):
-        states = self._stack([self.program.init_state() for _ in range(self.lanes)])
+        states = self._stack(
+            [self._step_program.init_state() for _ in range(self.lanes)])
         if self._lane_sharding is not None:
             states = jax.device_put(states, self._lane_sharding)
         return states
@@ -81,10 +105,14 @@ class BatchedRenderProgram:
     def block_inputs(self, block_index: int):
         """Identical automation on every lane (callers can build per-lane
         inputs themselves for divergent automation)."""
-        one = self.program.block_inputs(block_index)
+        if self._packed_inputs:
+            one = self._step_program.packed_block_inputs(block_index)
+        else:
+            one = self._step_program.block_inputs(block_index)
         tiled = jax.tree.map(
-            lambda x: np.broadcast_to(np.asarray(x), (self.lanes,) + np.shape(x)), one
-        )
+            lambda x: np.ascontiguousarray(
+                np.broadcast_to(np.asarray(x), (self.lanes,) + np.shape(x))),
+            one)
         if self._lane_sharding is not None:
             tiled = jax.device_put(tiled, self._lane_sharding)
         return tiled

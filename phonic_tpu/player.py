@@ -410,7 +410,8 @@ class Player:
         prog = self._ensure_program()
         t0 = time.perf_counter()
         block_index = self._position // prog.ctx.block_frames
-        self._state, out = prog._jit_step(self._state, prog.block_inputs(block_index))
+        self._state, out = prog.step_packed(
+            self._state, prog.packed_block_inputs(block_index))
         audio, mixer_levels = out
         self._mixer_levels = {
             path: AudioLevel(np.asarray(pk), np.asarray(rm))
