@@ -20,6 +20,10 @@ from .generators.base import Generator, GeneratorPlaybackOptions
 from .generators.sampler import AhdsrConfig, Sampler
 from .generators.granular import GranularConfig
 from .generators.synth import SynthGenerator
+from .modulation.config import (
+    EnvelopeSource, KeytrackingSource, LfoSource, ModulationConfig,
+    VelocitySource,
+)
 from .player import Player, PlayerConfig
 from .io.decoder import AudioFileBuffer, AudioFileInfo
 

@@ -46,7 +46,10 @@ from .granular import (
     DIRECTIONS, GranularConfig, OVERLAP_MODES, POOL_SIZE, WINDOW_MODES,
     grain_state_init, granular_voice_block,
 )
-from ..modulation.matrix import ModulationRoutings, apply_matrix, source_values
+from ..modulation.matrix import (
+    ModulationRoutings, apply_matrix, build_source_specs, eval_sources,
+    source_polarity,
+)
 from ..params import EnumParameter
 
 NEVER = np.iinfo(np.int32).max
@@ -145,6 +148,7 @@ class Sampler(Generator):
         self.finetune = int(finetune)
         self.granular: Optional[GranularConfig] = None
         self.modulation = ModulationRoutings()
+        self.mod_config = self.modulation.config
         self.seed = 0x6A17
         self._loop_msgs: list = []  # (time, Optional[(start, end)])
         self._plan_cache = None
@@ -170,6 +174,29 @@ class Sampler(Generator):
         modulation parameters activate, and each voice gets a grain pool."""
         self.granular = config or GranularConfig()
         self.PARAMS = Sampler.PARAMS + GRANULAR_PARAMS
+        return self
+
+    def with_modulation(self, config) -> "Sampler":
+        """Install a custom ModulationConfig (modulation/config.py): extra
+        LFO slots and AHDSR Envelope sources become routable to the 7
+        granular targets, with their rate/waveform/AHDSR parameters exposed
+        as engine-smoothed FourCC parameters (reference: the generalized
+        ModulationConfig of src/modulation.rs:135-155; the stock sampler
+        config is src/generator/sampler.rs:362-427).  Requires granular
+        playback (the matrix only feeds granular targets, like the
+        reference sampler)."""
+        from ..modulation.matrix import TARGETS as _T
+        if self.granular is None:
+            raise ValueError("call with_granular_playback() before "
+                             "with_modulation(): the sampler matrix feeds "
+                             "the granular targets")
+        if tuple(config.targets) != _T:
+            raise ValueError(f"sampler modulation targets must be {_T}")
+        self.mod_config = config
+        self.modulation = ModulationRoutings(config)
+        have = {p.id for p in self.PARAMS}
+        extra = tuple(p for p in config.source_parameters() if p.id not in have)
+        self.PARAMS = self.PARAMS + extra
         return self
 
     def set_loop_range(self, loop_range, time: int = 0):
@@ -356,8 +383,18 @@ class Sampler(Generator):
                 total = max(total, int(end))
         return total
 
+    def prepare(self, ctx: BuildCtx) -> None:
+        # the engine hands us the output rate at program build so lowering
+        # never falls back to a default (a 44.1 kHz program lowering before
+        # init would mis-allocate voices otherwise)
+        self._sr = ctx.sample_rate
+
     def lower_block_inputs(self, block_start: int, block_len: int):
-        voices = self._allocate(48000 if not hasattr(self, "_sr") else self._sr)
+        if not hasattr(self, "_sr"):
+            raise RuntimeError(
+                f"{type(self).__name__} lowered before prepare(); the node "
+                "must be part of a RenderProgram")
+        voices = self._allocate(self._sr)
         v = self.options.voices
         out = {
             "_cont_active": np.zeros(v, np.float32),
@@ -624,10 +661,11 @@ class Sampler(Generator):
         overlap = params[GRAIN_OVERLAP.id][0].astype(jnp.int32)
         wmode = params[GRAIN_WINDOW.id].astype(jnp.int32)
         direction = params[GRAIN_DIRECTION.id].astype(jnp.int32)
-        lfo1_inc = params[LFO1_RATE.id][0] / sr
-        lfo2_inc = params[LFO2_RATE.id][0] / sr
-        lfo1_wf = params[LFO1_WAVE.id][0].astype(jnp.int32)
-        lfo2_wf = params[LFO2_WAVE.id][0].astype(jnp.int32)
+        # config-driven modulation sources (LFO slots, Envelope slots,
+        # velocity, keytracking); voice-independent payloads built here,
+        # per-voice values evaluated under the vmap below
+        mod_specs = build_source_specs(self.mod_config, params, sr)
+        src_bip = source_polarity(self.mod_config)
         amt = jnp.asarray(params["_mod_amt"], jnp.float32)
         bip = jnp.asarray(params["_mod_bip"], jnp.float32)
 
@@ -656,10 +694,9 @@ class Sampler(Generator):
             eff_pan = jnp.clip(base_pan + npan, -1.0, 1.0)
 
             # modulation sources/targets for this voice
-            src = source_values(age, nvol, note, lfo1_inc, lfo1_wf,
-                                lfo2_inc, lfo2_wf, n,
-                                seed=self.seed ^ (0x9E37 * (voice_idx + 1)))
-            mods = apply_matrix(src, amt, bip)  # [7, n]
+            src = eval_sources(mod_specs, age, nvol, note, rel, n,
+                               seed=self.seed ^ (0x9E37 * (voice_idx + 1)))
+            mods = apply_matrix(src, amt, bip, src_bip)  # [7, n]
 
             gr_state, audio = granular_voice_block(
                 gr_state,

@@ -54,18 +54,65 @@ class SynthGenerator(Generator):
         self.glide_secs = float(glide_secs)
         self.granular = None  # allocator shim (shared with Sampler)
         self._plan_cache = None
+        # user-declared FourCC parameters (reference: fundsp Shared vars,
+        # src/generator/fundsp.rs:88-99 + fundsp/parameter.rs:1-123)
+        self.PARAMS = SynthGenerator.PARAMS + tuple(synth.params)
+        self.mod_config = None
+        self.modulation = None
+
+    def with_modulation(self, config) -> "SynthGenerator":
+        """Install a ModulationConfig whose targets are this synth's user
+        parameter ids: per-voice matrix outputs arrive as
+        ``SynthContext.mods[target_id]`` arrays for the SynthDef to combine
+        (reference: flexible ModulationConfig + shared output buffers,
+        src/generator/fundsp/modulation.rs:159-220)."""
+        from ..modulation.matrix import ModulationRoutings
+
+        valid = {p.id for p in self.synth.params}
+        bad = [t for t in config.targets if t not in valid]
+        if bad:
+            raise ValueError(
+                f"modulation targets {bad} are not user parameters of this "
+                f"synth (have {sorted(valid)})")
+        self.mod_config = config
+        self.modulation = ModulationRoutings(config)
+        have = {p.id for p in self.PARAMS}
+        self.PARAMS = self.PARAMS + tuple(
+            p for p in config.source_parameters() if p.id not in have)
+        return self
+
+    def set_modulation(self, source: str, target: str, amount: float,
+                       bipolar: bool = True):
+        if self.modulation is None:
+            raise ValueError("no ModulationConfig installed; call "
+                             "with_modulation() first")
+        self.modulation.set(source, target, amount, bipolar)
+
+    def clear_modulation(self, source: str, target: str):
+        if self.modulation is not None:
+            self.modulation.clear(source, target)
 
     @property
     def WEIGHT(self):
         return max(2, self.options.voices // 2)
 
     def param_initials(self):
-        return {VOLUME.id: self.options.volume, PANNING.id: self.options.panning}
+        out = {VOLUME.id: self.options.volume, PANNING.id: self.options.panning}
+        for p in self.synth.params:
+            out[p.id] = p.default
+        return out
 
     # voice allocation: reuse the Sampler's host allocator with a fixed
-    # release duration
+    # release duration (and its prepare(): lowering needs the output rate)
     _allocate = Sampler._allocate
-    lower_block_inputs = Sampler.lower_block_inputs
+    prepare = Sampler.prepare
+
+    def lower_block_inputs(self, block_start: int, block_len: int):
+        out = Sampler.lower_block_inputs(self, block_start, block_len)
+        if self.modulation is not None:
+            out["_mod_amt"] = self.modulation.amounts.copy()
+            out["_mod_bip"] = self.modulation.bipolar.copy()
+        return out
 
     def _voice_end(self, seg, ctx_sr: int) -> float:
         if seg.release is math.inf:
@@ -100,6 +147,17 @@ class SynthGenerator(Generator):
         base_vol = params[VOLUME.id]
         base_pan = params[PANNING.id]
         glide = self.glide_secs
+        # generator-level user params: shared across voices (broadcast
+        # under the voice vmap), already smoothed per sample by the engine
+        uparams = {p.id: params[p.id] for p in self.synth.params}
+        if self.mod_config is not None:
+            from ..modulation.matrix import (
+                apply_matrix, build_source_specs, eval_sources, source_polarity)
+            mod_specs = build_source_specs(self.mod_config, params,
+                                           ctx.sample_rate)
+            src_bip = source_polarity(self.mod_config)
+            mod_amt = jnp.asarray(params["_mod_amt"], jnp.float32)
+            mod_bip = jnp.asarray(params["_mod_bip"], jnp.float32)
 
         def auto_vals(current, auto, lane_key, nm):
             key = f"_{lane_key}_{nm}_t"
@@ -110,7 +168,7 @@ class SynthGenerator(Generator):
 
         def render_voice(syn_state, c_act, c_note, c_vol, c_pan, c_age0, c_rel,
                          c_spd, t_time, t_note, t_vol, t_pan, t_rel, t_spd,
-                         auto):
+                         auto, voice_idx):
             has_trig = (t_time < n) & (t_vol > 0.0)
             in_b = (i >= t_time) & has_trig
             age = jnp.where(in_b, i - t_time, c_age0 + i)
@@ -141,9 +199,17 @@ class SynthGenerator(Generator):
                 freq = note_to_hz(note)
             freq = freq * freq_mult
 
+            if self.mod_config is not None:
+                src = eval_sources(
+                    mod_specs, age, vel, note, rel, n,
+                    seed=0x7157 ^ (0x9E37 * (voice_idx + 1)))
+                m = apply_matrix(src, mod_amt, mod_bip, src_bip)  # [T, n]
+                mods = {t: m[k] for k, t in enumerate(self.mod_config.targets)}
+            else:
+                mods = {}
             sctx = SynthContext(freq=freq, gate=gate, velocity=vel, age=age,
                                 release_age=rel, sample_rate=ctx.sample_rate,
-                                block_frames=n)
+                                block_frames=n, params=uparams, mods=mods)
             syn_state, audio = self.synth.render(syn_state, sctx)
             if audio.ndim == 1:
                 audio = jnp.stack([audio] * ctx.channels)
@@ -163,5 +229,6 @@ class SynthGenerator(Generator):
             params["_cont_spd"], params["_trig_time"], params["_trig_note"],
             params["_trig_vol"], params["_trig_pan"], params["_trig_rel"],
             params["_trig_spd"], auto,
+            jnp.arange(self.options.voices, dtype=jnp.int32),
         )
         return {"synth": synth_states}, jnp.sum(outs, axis=0)

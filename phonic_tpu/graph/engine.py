@@ -58,6 +58,8 @@ class RenderProgram:
             max_events=config.max_events_per_block,
         )
         self._index_nodes()
+        for node in self.nodes.values():
+            node.prepare(self.ctx)
         # automation timelines per (path, param)
         self.timelines: dict[tuple[str, str], ParamTimeline] = {}
         for path, node in self.nodes.items():

@@ -57,6 +57,14 @@ class Node:
         options."""
         return {p.id: p.default for p in self.PARAMS}
 
+    def prepare(self, ctx: BuildCtx) -> None:
+        """Called once by RenderProgram at construction, before any state
+        init or host lowering — receive the build context (sample rate,
+        block size) here.  Lowering hooks must never fall back to a default
+        rate (a 44.1 kHz program lowering before init would silently
+        mis-allocate otherwise)."""
+        return None
+
     def init_state(self, ctx: BuildCtx):
         return {}
 

@@ -30,21 +30,37 @@ TARGETS = ("GSIZ", "GDEN", "GVAR", "GSPY", "GPAN", "GPOS", "GSTP")
 
 
 class ModulationRoutings:
-    """Host-side routing table -> dense device tensors."""
+    """Host-side routing table -> dense device tensors.  Sized by a
+    ModulationConfig (modulation/config.py); defaults to the sampler's
+    stock LFO1/LFO2/VELM/KEYM -> 7 granular targets."""
 
-    def __init__(self):
-        self.amounts = np.zeros((len(SOURCES), len(TARGETS)), np.float32)
-        self.bipolar = np.zeros((len(SOURCES), len(TARGETS)), np.float32)
+    def __init__(self, config=None):
+        if config is None:
+            from .config import default_sampler_config
+            config = default_sampler_config()
+        self.config = config
+        self.source_ids = list(config.source_ids)
+        self.target_ids = list(config.targets)
+        self.amounts = np.zeros(
+            (len(self.source_ids), len(self.target_ids)), np.float32)
+        self.bipolar = np.zeros_like(self.amounts)
+
+    def _index(self, source: str, target: str):
+        if source not in self.source_ids:
+            raise KeyError(f"unknown modulation source {source!r}; "
+                           f"have {self.source_ids}")
+        if target not in self.target_ids:
+            raise KeyError(f"unknown modulation target {target!r}; "
+                           f"have {self.target_ids}")
+        return self.source_ids.index(source), self.target_ids.index(target)
 
     def set(self, source: str, target: str, amount: float, bipolar: bool = True):
-        s = SOURCES.index(source)
-        t = TARGETS.index(target)
+        s, t = self._index(source, target)
         self.amounts[s, t] = amount
         self.bipolar[s, t] = 1.0 if bipolar else 0.0
 
     def clear(self, source: str, target: str):
-        s = SOURCES.index(source)
-        t = TARGETS.index(target)
+        s, t = self._index(source, target)
         self.amounts[s, t] = 0.0
 
     def clear_all(self):
@@ -93,9 +109,78 @@ def _waveform_at(wf, phase, wraps, seed):
     return jnp.take(stacked, jnp.clip(jnp.asarray(wf, jnp.int32), 0, 6), axis=0)
 
 
-def apply_matrix(sources, amounts, bipolar):
-    """sources [S, n] -> target offsets [T, n] with polarity transforms."""
-    src_bip = jnp.asarray(SOURCE_BIPOLAR, jnp.float32)[:, None, None]  # [S,1,1]
+def build_source_specs(config, params, sample_rate):
+    """Per-block, voice-independent payloads for each configured source
+    (computed once outside the voice vmap).  Returns a list of
+    (kind, payload) consumed by ``eval_sources``."""
+    from . import config as cfg_mod
+    from ..ops import ahdsr as ahdsr_ops
+
+    specs = []
+    lfo_slot = 0
+    for s in config.sources:
+        if isinstance(s, cfg_mod.LfoSource):
+            lfo_slot += 1
+            inc = params[s.rate_param][0] / sample_rate
+            wf = params[s.wave_param][0].astype(jnp.int32)
+            specs.append(("lfo", (inc, wf, 0x11 * lfo_slot)))
+        elif isinstance(s, cfg_mod.EnvelopeSource):
+            p = s.prefix
+            e0 = lambda c: params[p + c][0]
+            env_p = ahdsr_ops.ahdsr_params(
+                sample_rate, e0("A"), e0("H"), e0("D"), e0("S"), e0("R"))
+            specs.append(("env", env_p))
+        elif isinstance(s, cfg_mod.VelocitySource):
+            specs.append(("vel", None))
+        elif isinstance(s, cfg_mod.KeytrackingSource):
+            specs.append(("key", None))
+        else:
+            raise TypeError(f"unknown modulation source {s!r}")
+    return specs
+
+
+def eval_sources(specs, age, velocity, note, release_at, n: int, seed: int = 0):
+    """[S, n] per-voice source values for an arbitrary config (per-voice
+    part, runs under the voice vmap).
+
+    age: int32[n] runs since note-on (handles in-block retriggers);
+    release_at: scalar-or-[n] age at note-off (inf = held) for envelopes."""
+    from ..ops import ahdsr as ahdsr_ops
+
+    agef = jnp.maximum(age.astype(jnp.float32), 0.0)
+    vals = []
+    for kind, payload in specs:
+        if kind == "lfo":
+            inc, wf, salt = payload
+            raw = agef * inc
+            phase = raw - jnp.floor(raw)
+            wraps = jnp.floor(raw).astype(jnp.int32)
+            vals.append(_waveform_at(wf, phase, wraps, seed + salt))
+        elif kind == "env":
+            # envelope scales by the note velocity, like the reference's
+            # matrix.note_on(note, volume) (src/modulation/processor.rs:134)
+            vals.append(ahdsr_ops.ahdsr_values(payload, velocity, age, release_at))
+        elif kind == "vel":
+            vals.append(jnp.broadcast_to(jnp.asarray(velocity, jnp.float32), (n,)))
+        else:  # key
+            vals.append(jnp.broadcast_to(
+                jnp.asarray(note, jnp.float32) / 127.0, (n,)))
+    return jnp.stack(vals)
+
+
+def source_polarity(config):
+    """[S] 1.0 where the source is bipolar."""
+    return np.asarray([1.0 if s.bipolar else 0.0 for s in config.sources],
+                      np.float32)
+
+
+def apply_matrix(sources, amounts, bipolar, src_bipolar=None):
+    """sources [S, n] -> target offsets [T, n] with polarity transforms.
+    ``src_bipolar``: [S] source polarities (default: the stock
+    LFO1/LFO2/VELM/KEYM layout)."""
+    if src_bipolar is None:
+        src_bipolar = SOURCE_BIPOLAR
+    src_bip = jnp.asarray(src_bipolar, jnp.float32)[:, None, None]  # [S,1,1]
     s = sources[:, None, :]  # [S, 1, n]
     tgt_bip = jnp.asarray(bipolar, jnp.float32)[:, :, None]  # [S, T, 1]
     # four polarity cases (matrix.rs:196-246)

@@ -129,13 +129,19 @@ class StreamedFileSource(Source):
             return np.mod(ki, frames), ki < frames * (rpt + 1)
         return ki, ki < frames
 
+    def prepare(self, ctx) -> None:
+        # the engine calls this at program build, BEFORE any lowering: the
+        # window size and feeder rate must never fall back to a default rate
+        self._sr = ctx.sample_rate
+        self._window_frames_cached = self._window_frames(ctx)
+
     def lower_block_inputs(self, block_start: int, block_len: int):
-        ctx_sr = getattr(self, "_sr", 48000)
+        if not hasattr(self, "_sr"):
+            raise RuntimeError(
+                "StreamedFileSource lowered before prepare(); the node must "
+                "be part of a RenderProgram")
+        ctx_sr = self._sr
         ratio = self.buffer.sample_rate / ctx_sr
-        if not hasattr(self, "_window_frames_cached"):
-            from ..graph.nodes import BuildCtx as _B
-            self._window_frames_cached = self._window_frames(
-                _B(ctx_sr, 2, 8192, 16))
         w = self._window_frames_cached
 
         # authoritative virtual position at block start: integral of the

@@ -47,15 +47,31 @@ class SynthContext(NamedTuple):
     release_age: jnp.ndarray  # f32 scalar/[n]: age at note-off (inf = held)
     sample_rate: int
     block_frames: int
+    # user-declared FourCC parameters (SynthDef.params): engine-smoothed
+    # per-sample [n] arrays (reference: fundsp Shared vars per voice,
+    # src/generator/fundsp/parameter.rs:1-123)
+    params: dict = {}
+    # per-voice modulation matrix outputs per target parameter id, [n] in
+    # the matrix's output range — combine them in render however the synth
+    # wants, like the reference's var_buffer(shared_buffer) nodes
+    # (src/generator/fundsp/modulation.rs:159-220)
+    mods: dict = {}
 
 
 @dataclasses.dataclass
 class SynthDef:
-    """A pure-function synth voice (the FunDSP AudioUnit analog)."""
+    """A pure-function synth voice (the FunDSP AudioUnit analog).
+
+    ``params`` declares user FourCC parameters (reference: the FunDSP
+    generator's shared parameters, src/generator/fundsp.rs:88-99): they
+    become engine-smoothed per-block arrays in ``SynthContext.params``,
+    settable at runtime via ``GeneratorPlaybackHandle.set_parameter`` and
+    routable as modulation targets (SynthGenerator.with_modulation)."""
 
     init: Callable[[BuildCtx], dict]
     render: Callable[[dict, SynthContext], tuple]
     channels: int = 1
+    params: tuple = ()
 
 
 @dataclasses.dataclass
@@ -82,9 +98,14 @@ class SynthSource(Source):
         super().__init__(name)
         self.synth = synth
         self.options = options or SynthPlaybackOptions()
+        # user-declared FourCC parameters become engine-smoothed inputs
+        self.PARAMS = SynthSource.PARAMS + tuple(synth.params)
 
     def param_initials(self):
-        return {VOLUME.id: self.options.volume, PANNING.id: self.options.panning}
+        out = {VOLUME.id: self.options.volume, PANNING.id: self.options.panning}
+        for p in self.synth.params:
+            out[p.id] = p.default
+        return out
 
     def init_state(self, ctx: BuildCtx):
         return {"synth": self.synth.init(ctx)}
@@ -118,6 +139,7 @@ class SynthSource(Source):
             release_age=(gate_end - opt.start_time).astype(jnp.float32),
             sample_rate=ctx.sample_rate,
             block_frames=n,
+            params={p.id: params[p.id] for p in self.synth.params},
         )
         synth_state, audio = self.synth.render(state["synth"], sctx)
         if audio.ndim == 1:
