@@ -142,6 +142,12 @@ class PlaybackHandle(_Handle):
     def is_playing(self) -> bool:
         return self._player._is_playing(self._node)
 
+    def cpu_load(self) -> Optional["CpuLoad"]:
+        """Per-source CPU-load probe; None unless played with
+        measure_cpu_load=True (reference: FilePlaybackHandle::cpu_load,
+        src/player/handles/file.rs:70-74)."""
+        return self._player.source_cpu_load(self._node)
+
 
 class GeneratorPlaybackHandle(_Handle):
     """reference: src/player/handles/generator.rs:200-460."""
@@ -241,6 +247,7 @@ class Player:
         # src/player.rs:1135-1176) — delivered per pumped block
         self.status_handler = None
         self._live_sources: set = set()
+        self._last_pos_emit: dict = {}  # path -> output frame of last Position
 
     # ------------------------------------------------------------------
     # graph building (topology edits invalidate the compiled program)
@@ -283,9 +290,13 @@ class Player:
 
     def play_file(self, file: Union[str, AudioFileBuffer],
                   options: Optional[FilePlaybackOptions] = None,
-                  mixer: Optional[Mixer] = None) -> PlaybackHandle:
+                  mixer: Optional[Mixer] = None,
+                  stream: bool = False) -> PlaybackHandle:
+        """``stream=True`` plays via the O(window)-memory streamed source
+        (reference: FilePlaybackOptions::streamed, src/source/file.rs:96)."""
         buf = file if isinstance(file, AudioFileBuffer) else AudioFileBuffer.from_file(file)
-        src = FileSource(buf, options)
+        from .sources.streamed import StreamedFileSource
+        src = StreamedFileSource(buf, options) if stream else FileSource(buf, options)
         (mixer or self.main_mixer).add_source(src)
         self._invalidate()
         return PlaybackHandle(self, src)
@@ -391,6 +402,54 @@ class Player:
     def cpu_load(self) -> CpuLoad:
         return self._cpu
 
+    def source_cpu_load(self, node, iters: int = 8) -> Optional[CpuLoad]:
+        """Per-source CPU-load probe (reference: MeasuredSource wall-clock
+        probes around the inner write, src/source/measured.rs:90-104 +
+        the measure_cpu_load play option, src/source/file.rs:85).
+
+        The fused XLA program renders every node in one kernel, so per-node
+        time cannot be observed in-band; the TPU-native probe jits the
+        node's process() standalone and times it on the device with the
+        source's current parameter values and state.  Returns None unless
+        the source was played with measure_cpu_load=True."""
+        import jax
+        import jax.numpy as jnp
+
+        prog = self._ensure_program()
+        path = prog._resolve(node)
+        node = prog.nodes[path]
+        if not getattr(getattr(node, "options", None), "measure_cpu_load", False):
+            return None
+        n = prog.ctx.block_frames
+        values = {}
+        for p in node.PARAMS:
+            tl = prog.timelines[(path, p.id)]
+            values[p.id] = jnp.full(
+                (n,), np.float32(tl.value_at(self._position)))
+        values["_frame0"] = jnp.int32(self._position)
+        if path in prog.stop_frames:
+            values["_stop_at"] = jnp.int32(min(prog.stop_frames[path], NEVER))
+            values["_kill_at"] = jnp.int32(min(prog.kill_frames[path], NEVER))
+        extra = node.lower_block_inputs(self._position, n) or {}
+        for k, v in extra.items():
+            values[k] = jnp.asarray(v)
+        st = (self._state or {}).get("nodes", {}).get(path)
+        if st is None:  # batched lane or not yet compiled: probe fresh state
+            st = node.init_state(prog.ctx)
+
+        fn = jax.jit(lambda s, v: node.process(s, None, v, prog.ctx))
+        out = fn(st, values)
+        jax.block_until_ready(out)
+        block_secs = n / prog.ctx.sample_rate
+        times = []
+        for _ in range(max(iters, 1)):
+            t0 = time.perf_counter()
+            out = fn(st, values)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        return CpuLoad(average=sum(times) / len(times) / block_secs,
+                       peak=max(times) / block_secs)
+
     def audio_level(self) -> AudioLevel:
         return self._level
 
@@ -440,17 +499,30 @@ class Player:
         return audio
 
     def _emit_status(self, prog):
+        sr = prog.ctx.sample_rate
         for path in prog.source_paths:
             node = prog.nodes[path]
             was_live = node in self._live_sources
             playing = self._is_playing(node)
-            start = getattr(getattr(node, "options", None), "start_time", 0)
+            opts = getattr(node, "options", None)
+            start = getattr(opts, "start_time", 0)
             if playing and self._position > start:
                 self._live_sources.add(node)
+                # throttle Position events to the source's emit rate
+                # (reference: playback_pos_emit_rate, src/source/file.rs:92)
+                rate = getattr(opts, "playback_pos_emit_rate", 1.0)
+                if rate is None:
+                    continue
+                interval = max(int(rate * sr), 1)
+                last = self._last_pos_emit.get(path)
+                if last is not None and self._position - last < interval:
+                    continue
+                self._last_pos_emit[path] = self._position
                 self.status_handler(PlaybackStatusEvent(
                     "position", node, position=self._position - start))
             elif was_live and not playing:
                 self._live_sources.discard(node)
+                self._last_pos_emit.pop(path, None)
                 self.status_handler(PlaybackStatusEvent(
                     "stopped", node, exhausted=True))
 

@@ -63,9 +63,48 @@ class StreamedFileSource(Source):
         self.loop_mode = self.buffer.loop_mode
         self.speed_cap = float(speed_cap or max(self.options.speed * 2.0, 2.0))
         self._seeks: list[tuple[int, float]] = []
+        # runtime control messages: (time, kind, value) with kind in
+        # {"loop", "repeat"} (reference: StreamedFileSourceMessage::
+        # SetLoopRange / SetRepeat, src/source/file/streamed.rs:37-50)
+        self._ctrl_msgs: list[tuple[int, str, object]] = []
 
     def seek(self, at_frame: int, to_source_frame: float):
         self._seeks.append((int(at_frame), float(to_source_frame)))
+
+    def set_loop_range(self, loop_range, time: int = 0):
+        """Change or disable looping mid-playback (reference:
+        StreamedFileSourceMessage::SetLoopRange).  The source position stays
+        continuous across the change; if the current position lies past the
+        new loop end it wraps into the new range, like the reference decoder
+        whose next wrap check uses the new points."""
+        if loop_range is not None:
+            start, end = int(loop_range[0]), int(loop_range[1])
+            frames = self.buffer.frames
+            if not (0 <= start < frames and start < end <= frames):
+                raise ValueError(
+                    f"Invalid loop range {loop_range!r}; must lie in "
+                    f"0..{frames}")
+            loop_range = (start, end)
+        self._ctrl_msgs.append((int(time), "loop", loop_range))
+
+    def set_repeat(self, repeat, time: int = 0):
+        """Change the remaining repeat count mid-playback (reference:
+        StreamedFileSourceMessage::SetRepeat).  ``repeat`` counts FUTURE
+        loop passes from the change point (None = forever)."""
+        if repeat is not None and int(repeat) < 0:
+            raise ValueError("repeat must be >= 0 or None")
+        self._ctrl_msgs.append(
+            (int(time), "repeat", None if repeat is None else int(repeat)))
+
+    def handle_message(self, message, time: int = 0):
+        """('set_loop_range', range) / ('set_repeat', n) tuples."""
+        if isinstance(message, tuple) and len(message) == 2:
+            kind, val = message
+            if kind == "set_loop_range":
+                return self.set_loop_range(val, time=time)
+            if kind == "set_repeat":
+                return self.set_repeat(val, time=time)
+        raise ValueError(f"unknown streamed-source message {message!r}")
 
     def param_initials(self):
         return {VOLUME.id: self.options.volume, PANNING.id: self.options.panning,
@@ -99,35 +138,107 @@ class StreamedFileSource(Source):
         total += (b - cur) * tl.value_at(b - 1)
         return total
 
-    def _fold_indices(self, vp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Virtual positions -> buffer frame indices + live mask (NumPy twin
-        of FileSource._fold)."""
+    # ------------------------------------------------------------------
+    # anchored fold state: virtual position u maps to source frames via
+    # rel = u + delta, folded by the CURRENT loop/repeat parameters.  Runtime
+    # SetLoopRange / SetRepeat re-anchor delta (and the repeat exit span /
+    # live limit, both in rel coordinates) so the source position stays
+    # continuous across changes — the piecewise analog of the reference's
+    # stateful decoder position.
+    # ------------------------------------------------------------------
+
+    def _initial_fold_state(self):
         frames = self.buffer.frames
+        loop = self.loop_range
         rpt = self.options.repeat
-        ki = vp
-        if self.loop_range is not None:
-            start, end = int(self.loop_range[0]), int(self.loop_range[1])
-            length = max(end - start, 1)
-            rel = ki - start
-            if self.loop_mode == "pingpong":
-                c = np.mod(rel, 2 * length)
-                fki = np.where(c < length, start + c, start + 2 * length - c - 1)
-            else:
-                fki = start + np.mod(rel, length)
+        st = {"delta": 0, "loop": loop, "mode": self.loop_mode,
+              "span": math.inf, "after": 0, "live": math.inf, "wrap": False}
+        if loop is not None:
+            a, b = int(loop[0]), int(loop[1])
+            st["loop"] = (a, b)
+            if rpt is not None:
+                length = max(b - a, 1)
+                st["span"] = a + (rpt + 1) * length
+                st["after"] = rpt * length
+                st["live"] = frames + rpt * length
+        else:
             if rpt is None:
-                live = np.ones_like(ki, bool)
-                out = np.where(ki >= start, fki, ki)
+                st["wrap"] = True
+            elif rpt > 0:
+                st["wrap"] = True
+                st["live"] = frames * (rpt + 1)
             else:
-                span = start + (rpt + 1) * length
-                after = ki - rpt * length
-                out = np.where(ki < span, np.where(ki >= start, fki, ki), after)
-                live = ki < frames + rpt * length
-            return out, live
-        if rpt is None:
-            return np.mod(ki, frames), np.ones_like(ki, bool)
-        if rpt and rpt > 0:
-            return np.mod(ki, frames), ki < frames * (rpt + 1)
-        return ki, ki < frames
+                st["live"] = frames
+        return st
+
+    def _fold_rel(self, rel, st):
+        """rel (scalar or array, int) -> (source frames, live mask)."""
+        frames = self.buffer.frames
+        rel = np.asarray(rel)
+        live = rel < st["live"]
+        loop = st["loop"]
+        if loop is None:
+            if st["wrap"]:
+                return np.mod(rel, frames), live
+            return rel, live
+        a, b = loop
+        length = max(b - a, 1)
+        if st["mode"] == "pingpong":
+            c = np.mod(rel - a, 2 * length)
+            folded = np.where(c < length, a + c, a + 2 * length - c - 1)
+        else:
+            folded = a + np.mod(rel - a, length)
+        src = np.where(rel < st["span"],
+                       np.where(rel >= a, folded, rel),
+                       rel - st["after"])
+        return src, live
+
+    def _apply_ctrl(self, st, cur_rpt, rel1, kind, val):
+        """Re-anchor the fold state at rel coordinate ``rel1`` for a runtime
+        loop/repeat change; returns (new_state, new_cur_rpt)."""
+        frames = self.buffer.frames
+        s1 = int(self._fold_rel(rel1, st)[0])
+        st = dict(st)
+        if kind == "repeat":
+            cur_rpt = val
+        loop = st["loop"] if kind == "repeat" else val
+        if kind == "loop":
+            if loop is not None:
+                a, b = loop
+                length = max(b - a, 1)
+                if s1 >= b:  # current position past the new end: wrap in
+                    s1 = a + (s1 - a) % length
+            st["delta"] = st["delta"] + (s1 - rel1)
+            rel1 = s1
+            st["loop"] = loop
+            st["wrap"] = False
+        if loop is not None:
+            a, b = loop
+            length = max(b - a, 1)
+            if s1 >= b:
+                # the loop already exited into its linear tail (possible for
+                # a late SetRepeat): keep the tail mapping, play to the end
+                st["span"] = rel1
+                st["after"] = rel1 - s1
+                st["live"] = rel1 + (frames - s1)
+            elif cur_rpt is None:
+                st["span"], st["after"], st["live"] = math.inf, 0, math.inf
+            else:
+                # s1 < b here; rel advances 1:1 with the source until the
+                # next wrap, so the distance to it is b - s1
+                span = rel1 + (b - s1) + cur_rpt * length
+                st["span"] = span
+                st["after"] = span - b
+                st["live"] = span - b + frames
+        else:
+            if cur_rpt is None:
+                st["wrap"], st["live"] = True, math.inf
+            elif cur_rpt > 0:
+                st["wrap"] = True
+                st["live"] = rel1 + (frames - s1) + cur_rpt * frames
+            elif kind == "repeat":
+                st["live"] = rel1 + (frames - s1)
+        return st, cur_rpt
 
     def prepare(self, ctx) -> None:
         # the engine calls this at program build, BEFORE any lowering: the
@@ -145,22 +256,42 @@ class StreamedFileSource(Source):
         w = self._window_frames_cached
 
         # authoritative virtual position at block start: integral of the
-        # speed timeline since start_time, plus seeks
+        # speed timeline since start_time, plus seeks and runtime
+        # loop/repeat changes (walked in time order; pure per block)
         start = self.options.start_time
         cur = start
         pos = 0.0
-        for at, p in sorted(self._seeks):
-            if start <= at < block_start:
-                pos += self._speed_integral(cur, at) * ratio
-                pos = p
-                cur = at
+        st = self._initial_fold_state()
+        cur_rpt = self.options.repeat
+        events = sorted(
+            [(t, "seek", p) for t, p in self._seeks]
+            + list(self._ctrl_msgs), key=lambda e: e[0])
+        for at, kind, val in events:
+            if at >= block_start:
+                continue
+            at = max(at, start)
+            pos += self._speed_integral(cur, at) * ratio
+            cur = at
+            if kind == "seek":
+                pos = val
+                if self._ctrl_msgs:
+                    # runtime loop/repeat messages survive a seek: rebuild
+                    # the fold state at the fresh anchor with the current
+                    # repeat budget (without messages the absolute state is
+                    # kept unchanged — exact pre-existing seek semantics)
+                    st = self._initial_fold_state()
+                    st, cur_rpt = self._apply_ctrl(
+                        st, cur_rpt, int(math.floor(pos)), "repeat", cur_rpt)
+            else:
+                rel1 = int(math.floor(pos)) + st["delta"]
+                st, cur_rpt = self._apply_ctrl(st, cur_rpt, rel1, kind, val)
         pos += self._speed_integral(max(cur, start), max(block_start, start)) * ratio
 
         base = math.floor(pos)
         # assemble the playback-order window (1 guard frame before for the
         # hermite -1 tap)
         vp = base - 1 + np.arange(w, dtype=np.int64)
-        idx, live = self._fold_indices(vp)
+        idx, live = self._fold_rel(vp + st["delta"], st)
         data = np.asarray(self.buffer.data)  # [ch, frames+1]
         safe = np.clip(idx, 0, data.shape[1] - 1)
         win = np.where((live & (idx >= 0) & (idx < data.shape[1]))[None, :],
@@ -173,7 +304,11 @@ class StreamedFileSource(Source):
         }
 
     def duration_frames(self, ctx: BuildCtx) -> Optional[int]:
-        # mirror FileSource: finite only without endless loops
+        # mirror FileSource: finite only without endless loops.  Runtime
+        # loop/repeat messages make the end dynamic -> report unbounded so
+        # callers pass an explicit duration.
+        if self._ctrl_msgs:
+            return None
         frames = self.buffer.frames
         rpt = self.options.repeat
         if rpt is None:
