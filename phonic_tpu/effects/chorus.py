@@ -87,12 +87,13 @@ class ChorusEffect(Effect):
 
     def init_state(self, ctx: BuildCtx):
         sr = ctx.sample_rate
+        dt = ctx.scan_dtype
         lfo_range = MAX_RANGE_SAMPLES * sr / 44100.0
         max_size = 2 + int(math.ceil(MAX_DELAY_MS * sr / 1000.0)) + 2 * int(math.ceil(lfo_range)) + 2
         return {
-            "ring_l": ring_ops.ring_init(1, max_size),
-            "ring_r": ring_ops.ring_init(1, max_size),
-            "svf": filters.tpt_state_init((2,)),
+            "ring_l": ring_ops.ring_init(1, max_size, dtype=dt),
+            "ring_r": ring_ops.ring_init(1, max_size, dtype=dt),
+            "svf": filters.tpt_state_init((2,), dtype=dt),
             "lfo_l": lfo_ops.lfo_init(0.0),
             "lfo_r": lfo_ops.lfo_init(0.0),  # phase offset applied per block
         }
@@ -140,7 +141,8 @@ class ChorusEffect(Effect):
             jnp.stack([t[1] for t in m])[ftype],
             jnp.stack([t[2] for t in m])[ftype],
         )
-        svf, filtered = filters.tpt_process(state["svf"], x, coefs)
+        svf, filtered = filters.tpt_process(state["svf"], x, coefs,
+                                            dtype=ctx.scan_dtype)
 
         # LFOs: sine pair with a phase offset on the right channel
         inc = params[RATE.id] / sr
@@ -181,7 +183,7 @@ class ChorusEffect(Effect):
             sub_step, (state["ring_l"], state["ring_r"]),
             jnp.arange(n // b, dtype=jnp.int32),
         )
-        wet = jnp.moveaxis(wets, 0, 1).reshape(2, n)
+        wet = jnp.moveaxis(wets, 0, 1).reshape(2, n).astype(x.dtype)
 
         wet_mix = params[WET.id]
         y = x * (1.0 - wet_mix)[None, :] + wet * wet_mix[None, :]

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.nodes import BuildCtx, Effect
-from ..ops.envelope import follower_coef
+from ..ops.envelope import follower_alpha
 from ..params import FloatParameter, format_db, format_ratio
 
 THRESHOLD = FloatParameter("thrs", "Threshold", -60.0, 0.0, -12.0, unit="dB", smoothing=None)
@@ -100,7 +100,8 @@ class CompressorEffect(Effect):
         return {
             # last D input frames (delay memory) and the matching |peak| tail
             "tail": jnp.zeros((ctx.channels, d), jnp.float32),
-            "env": jnp.float32(-120.0 if self.ratio >= 20.0 else 0.0),
+            "env": jnp.asarray(-120.0 if self.ratio >= 20.0 else 0.0,
+                               ctx.scan_dtype),
         }
 
     def tail_frames(self, ctx: BuildCtx) -> int:
@@ -121,8 +122,8 @@ class CompressorEffect(Effect):
         threshold = params[THRESHOLD.id]
         ratio = params[RATIO.id]
         knee = params[KNEE.id]
-        attack_c = follower_coef(params[ATTACK.id], sr)
-        release_c = follower_coef(params[RELEASE.id], sr)
+        attack_a = follower_alpha(params[ATTACK.id], sr, dtype=ctx.scan_dtype)
+        release_a = follower_alpha(params[RELEASE.id], sr, dtype=ctx.scan_dtype)
         makeup = params[MAKEUP.id]
 
         ext = jnp.concatenate([state["tail"], x], axis=-1)  # [2, D + n]
@@ -139,18 +140,22 @@ class CompressorEffect(Effect):
             lookahead_peak = frame_peak
 
         is_limiter = ratio >= 20.0
-        det_peak = jnp.where(is_limiter, lookahead_peak, frame_peak)
+        det_peak = jnp.where(is_limiter, lookahead_peak, frame_peak).astype(
+            ctx.scan_dtype)
         input_db = jnp.where(
             det_peak > 1e-6, _LN10_20 * jnp.log(jnp.maximum(det_peak, 1e-7)), -120.0
         )
 
         def step(env, xs):
-            in_db, ac, rc = xs
-            c = jnp.where(in_db > env, ac, rc)
-            env = in_db + c * (env - in_db)
+            # alpha (1-coef) form of env = in + c*(env - in): algebraically
+            # identical, but full f32 relative precision on the small step
+            in_db, aa, ra = xs
+            a = jnp.where(in_db > env, aa, ra)
+            env = env + a * (in_db - env)
             return env, env
 
-        xs = tuple(jnp.broadcast_to(v, (n,)) for v in (input_db, attack_c, release_c))
+        xs = tuple(jnp.broadcast_to(v, (n,)).astype(ctx.scan_dtype)
+                   for v in (input_db, attack_a, release_a))
         env_end, envelope = jax.lax.scan(step, state["env"], xs, unroll=64)
 
         slope = jnp.where(is_limiter, 1.0, 1.0 - 1.0 / jnp.maximum(ratio, 1.0))
@@ -167,7 +172,8 @@ class CompressorEffect(Effect):
         )
 
         total_db = makeup - gr_db
-        gain = jnp.where(total_db == 0.0, 1.0, jnp.exp(total_db / _LN10_20))
+        gain = jnp.where(total_db == 0.0, 1.0,
+                         jnp.exp(total_db / _LN10_20)).astype(x.dtype)
         y = delayed * gain[None, :]
 
         new_tail = ext[:, -d:] if d > 0 else state["tail"]

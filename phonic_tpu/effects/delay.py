@@ -127,11 +127,12 @@ class DelayEffect(Effect):
         max_samples = int(math.ceil(
             (MAX_DELAY_MS + MAX_LFO_TIME_MOD_MS) * ctx.sample_rate / 1000.0
         )) + 4
+        dt = ctx.scan_dtype
         return {
-            "ring": ring_ops.ring_init(2, max_samples),
-            "svf": filters.tpt_state_init((2,)),
-            "dc": filters.dc_state_init((2,)),
-            "fb": jnp.zeros((2,), jnp.float32),
+            "ring": ring_ops.ring_init(2, max_samples, dtype=dt),
+            "svf": filters.tpt_state_init((2,), dtype=dt),
+            "dc": filters.dc_state_init((2,), dtype=dt),
+            "fb": jnp.zeros((2,), dt),
             "lfo": lfo_ops.lfo_init(),
         }
 
@@ -221,9 +222,11 @@ class DelayEffect(Effect):
             coefs = filters.TptCoefficients(
                 sl(a1), sl(a2), sl(a3), sl(m0), sl(m1), sl(m2)
             )
-            svf, filtered = filters.tpt_process(svf, delayed, coefs)
+            svf, filtered = filters.tpt_process(svf, delayed, coefs,
+                                                dtype=ctx.scan_dtype)
             saturated = saturate(filtered, drive_j[None, :])
-            dc, blocked = filters.dc_process(dc, saturated, dc_r)
+            dc, blocked = filters.dc_process(dc, saturated, dc_r,
+                                             dtype=ctx.scan_dtype)
             clean = jnp.clip(blocked, -4.0, 4.0)  # [2, B]
 
             # previous-sample clean values (feedback source)
@@ -241,7 +244,7 @@ class DelayEffect(Effect):
         (ring, svf, dc, fb_state), wets = jax.lax.scan(
             sub_step, carry0, jnp.arange(n // b, dtype=jnp.int32)
         )
-        wet = jnp.moveaxis(wets, 0, 1).reshape(2, n)  # [steps, 2, B] -> [2, N]
+        wet = jnp.moveaxis(wets, 0, 1).reshape(2, n).astype(x.dtype)
 
         wet_mix = params[WET.id]
         dry_gain = jnp.minimum((1.0 - wet_mix) * 2.0, 1.0)

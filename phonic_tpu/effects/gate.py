@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.nodes import BuildCtx, Effect
-from ..ops.envelope import follower_coef
+from ..ops.envelope import follower_alpha
 from ..params import FloatParameter, format_db
 
 THRESHOLD = FloatParameter("thrs", "Threshold", -60.0, 0.0, -30.0, unit="dB", smoothing=None)
@@ -55,10 +55,11 @@ class GateEffect(Effect):
         return (type(self).__name__,)
 
     def init_state(self, ctx: BuildCtx):
+        dt = ctx.scan_dtype
         return {
-            "env": jnp.float32(-120.0),
-            "hold": jnp.float32(0.0),
-            "gain_db": jnp.float32(self.range_db),
+            "env": jnp.asarray(-120.0, dt),
+            "hold": jnp.asarray(0.0, dt),
+            "gain_db": jnp.asarray(self.range_db, dt),
         }
 
     def tail_frames(self, ctx: BuildCtx) -> int:
@@ -72,35 +73,38 @@ class GateEffect(Effect):
         if ctx.channels != 2:
             raise ValueError("GateEffect only supports stereo I/O")
         sr = ctx.sample_rate
+        dt = ctx.scan_dtype
         threshold = params[THRESHOLD.id]
         range_db = params[RANGE.id]
-        attack_c = follower_coef(params[ATTACK.id], sr)
-        release_c = follower_coef(params[RELEASE.id], sr)
+        attack_a = follower_alpha(params[ATTACK.id], sr, dtype=dt)
+        release_a = follower_alpha(params[RELEASE.id], sr, dtype=dt)
         hold_samples = jnp.floor(params[HOLD.id] * sr)
 
-        peak = jnp.maximum(jnp.abs(x[0]), jnp.abs(x[1]))
+        peak = jnp.maximum(jnp.abs(x[0]), jnp.abs(x[1])).astype(dt)
         input_db = jnp.where(peak > 1e-6, _LN10_20 * jnp.log(jnp.maximum(peak, 1e-7)), -120.0)
 
         def step(carry, xs):
+            # alpha (1-coef) form: algebraically identical to the coef
+            # update, full f32 relative precision on the small step
             env, hold, gain_db = carry
-            in_db, thr, rng, ac, rc, hs = xs
-            c = jnp.where(in_db > env, ac, rc)
-            env = in_db + c * (env - in_db)
+            in_db, thr, rng, aa, ra, hs = xs
+            a = jnp.where(in_db > env, aa, ra)
+            env = env + a * (in_db - env)
             is_open = env >= thr
             target = jnp.where(is_open | (hold > 0), 0.0, rng)
             hold = jnp.where(is_open, hs, jnp.maximum(hold - 1.0, 0.0))
-            c2 = jnp.where(target > gain_db, ac, rc)
-            gain_db = c2 * gain_db + (1.0 - c2) * target
+            a2 = jnp.where(target > gain_db, aa, ra)
+            gain_db = gain_db + a2 * (target - gain_db)
             return (env, hold, gain_db), gain_db
 
         xs = tuple(
-            jnp.broadcast_to(v, input_db.shape)
-            for v in (input_db, threshold, range_db, attack_c, release_c, hold_samples)
+            jnp.broadcast_to(v, input_db.shape).astype(dt)
+            for v in (input_db, threshold, range_db, attack_a, release_a, hold_samples)
         )
         (env, hold, gain_db), gains_db = jax.lax.scan(
             step, (state["env"], state["hold"], state["gain_db"]), xs, unroll=64
         )
         gain = jnp.where(gains_db <= -60.0, 0.0, jnp.exp(gains_db / _LN10_20))
-        gain = jnp.where(gains_db == 0.0, 1.0, gain)  # exact unity when open
+        gain = jnp.where(gains_db == 0.0, 1.0, gain).astype(x.dtype)
         y = x * gain[None, :]
         return {"env": env, "hold": hold, "gain_db": gain_db}, y

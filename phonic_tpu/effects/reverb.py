@@ -101,19 +101,20 @@ class ReverbEffect(Effect):
 
     def init_state(self, ctx: BuildCtx):
         rng = np.random.default_rng(self.seed)
+        dt = ctx.scan_dtype
         vib_phase = rng.uniform(0.0, 2.0 * math.pi, size=(8, 2)).astype(np.float32)
         return {
             # the predelay ring must hold a full block plus the max predelay
-            "pre": ring_ops.ring_init(2, _PRE_MAX + ctx.block_frames),
-            "bq_a": filters.tpt_state_init((2,)),
-            "bq_b": filters.tpt_state_init((2,)),
-            "bq_c": filters.tpt_state_init((2,)),
-            "ap_buf": jnp.zeros((4, 2, _AP_BUF), jnp.float32),
+            "pre": ring_ops.ring_init(2, _PRE_MAX + ctx.block_frames, dtype=dt),
+            "bq_a": filters.tpt_state_init((2,), dtype=dt),
+            "bq_b": filters.tpt_state_init((2,), dtype=dt),
+            "bq_c": filters.tpt_state_init((2,), dtype=dt),
+            "ap_buf": jnp.zeros((4, 2, _AP_BUF), dt),
             "ap_pos": jnp.zeros((4,), jnp.int32),
-            "line_buf": jnp.zeros((8, 2, _LINE_BUF), jnp.float32),
+            "line_buf": jnp.zeros((8, 2, _LINE_BUF), dt),
             "line_count": jnp.ones((8,), jnp.int32),
             "vib_phase": jnp.asarray(vib_phase),
-            "fb": jnp.zeros((8, 2), jnp.float32),
+            "fb": jnp.zeros((8, 2), dt),
         }
 
     @staticmethod
@@ -184,7 +185,7 @@ class ReverbEffect(Effect):
         delayed_in = ring_ops.ring_read_frac(pre, offs)
 
         coefs_a = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 1.618034)
-        bq_a, filt_a = filters.tpt_process(state["bq_a"], delayed_in, coefs_a, dtype=jnp.float32)
+        bq_a, filt_a = filters.tpt_process(state["bq_a"], delayed_in, coefs_a, dtype=ctx.scan_dtype)
         drive_in = jnp.sin(filt_a * wet[None, :])
 
         # ---- 4 cascaded allpasses in ONE sub-block feedback scan -----------
@@ -297,11 +298,11 @@ class ReverbEffect(Effect):
 
         # ---- output chain: biquad B -> clamp -> asin -> biquad C -> + dry --
         coefs_b = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 0.618034)
-        bq_b, filt_b = filters.tpt_process(state["bq_b"], wet_sig, coefs_b, dtype=jnp.float32)
+        bq_b, filt_b = filters.tpt_process(state["bq_b"], wet_sig, coefs_b, dtype=ctx.scan_dtype)
         shaped = jnp.arcsin(jnp.clip(filt_b, -1.0, 1.0))
         coefs_c = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 0.5)
-        bq_c, filt_c = filters.tpt_process(state["bq_c"], shaped, coefs_c, dtype=jnp.float32)
-        y = filt_c + x * (1.0 - wet)[None, :]
+        bq_c, filt_c = filters.tpt_process(state["bq_c"], shaped, coefs_c, dtype=ctx.scan_dtype)
+        y = (filt_c + x * (1.0 - wet)[None, :]).astype(x.dtype)
 
         new_state = {
             "pre": pre, "bq_a": bq_a, "bq_b": bq_b, "bq_c": bq_c,

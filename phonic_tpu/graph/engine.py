@@ -56,6 +56,7 @@ class RenderProgram:
             channels=config.channels,
             block_frames=config.block_frames,
             max_events=config.max_events_per_block,
+            scan_dtype=config.scan_dtype,
         )
         self._index_nodes()
         for node in self.nodes.values():

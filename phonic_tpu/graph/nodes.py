@@ -24,6 +24,8 @@ from __future__ import annotations
 import itertools
 from typing import NamedTuple, Optional
 
+import jax.numpy as jnp
+
 from ..params import Parameter
 
 
@@ -32,6 +34,10 @@ class BuildCtx(NamedTuple):
     channels: int
     block_frames: int
     max_events: int
+    # dtype for recursive filter/feedback state (EngineConfig.scan_dtype):
+    # float32 default (validated <= -80..-90 dB vs f64 oracles), float64 for
+    # strict-parity renders matching the reference's f64 delay-line state
+    scan_dtype: object = jnp.float32
 
 
 _counter = itertools.count()

@@ -20,11 +20,25 @@ import jax
 import jax.numpy as jnp
 
 
-def follower_coef(time_secs, sample_rate: int):
+def follower_coef(time_secs, sample_rate: int, dtype=jnp.float32):
     """coef = exp(-1 / (t * sr)); 0 when t <= 0
-    (reference: src/utils/dsp/envelope.rs:27-41)."""
-    t = jnp.asarray(time_secs, jnp.float32)
+    (reference: src/utils/dsp/envelope.rs:27-41).  Coefficients this close
+    to 1 lose ~half their distance-to-1 precision in f32; pass
+    dtype=float64 for strict-parity followers, or use ``follower_alpha``
+    (the 1-coef form) which keeps full relative precision in f32."""
+    t = jnp.asarray(time_secs, dtype)
     return jnp.where(t > 0.0, jnp.exp(-1.0 / jnp.maximum(t * float(sample_rate), 1e-9)), 0.0)
+
+
+def follower_alpha(time_secs, sample_rate: int, dtype=jnp.float32):
+    """a = 1 - coef computed directly as -expm1(-1/(t*sr)): representing the
+    small step a keeps ~eps relative precision where storing coef loses
+    eps/(1-coef) (the update env += a*(x-env) is algebraically identical to
+    env = x + coef*(env-x)).  a = 1 (instant) when t <= 0."""
+    t = jnp.asarray(time_secs, dtype)
+    return jnp.where(
+        t > 0.0, -jnp.expm1(-1.0 / jnp.maximum(t * float(sample_rate), 1e-9)),
+        1.0)
 
 
 def follower_block(y0, x, attack_coef, release_coef, axis: int = -1, unroll: int = 64):

@@ -43,7 +43,11 @@ def ring_read_frac(ring: Ring, offsets):
     # quantized to 0 after ~6 min at 48 kHz).  wpos & mask and the offsets are
     # both bounded by R, so the reduced arithmetic is exact; a negative pos is
     # fine (floor + two's-complement masking wrap it correctly).
-    pos = (ring.wpos & mask).astype(jnp.float32) - jnp.asarray(offsets, jnp.float32)
+    # Position math runs in the ring's own float dtype so f64 strict-parity
+    # rings get f64 interpolation fractions.
+    ptype = ring.buf.dtype if jnp.issubdtype(ring.buf.dtype, jnp.floating) \
+        else jnp.float32
+    pos = (ring.wpos & mask).astype(ptype) - jnp.asarray(offsets).astype(ptype)
     ip = jnp.floor(pos)
     frac = (pos - ip).astype(ring.buf.dtype)
     i1 = ip.astype(jnp.int32) & mask

@@ -50,7 +50,7 @@ def test_chorus_matches_oracle():
     expected = ref.chorus(x, SR, 1.5, np.pi / 2, 0.4, 0.4, 15.0, 0.6,
                           8000.0, 0.2, min_pos_samples=b + 1)
     err = ref.error_db(got, expected, ref_peak=np.max(np.abs(expected)))
-    assert err < -70.0, f"chorus err {err:.1f} dB"
+    assert err < -90.0, f"chorus err {err:.1f} dB"
 
 
 def test_chorus_dry_when_wet_zero():
@@ -82,7 +82,7 @@ def test_reverb_matches_oracle_no_vibrato():
     vib = np.asarray(node.init_state(ctx)["vib_phase"])
     expected = ref.reverb(x, SR, 0.6, 0.5, vib, vib_depth=0.0, line_depth=0.0)
     err = ref.error_db(got, expected, ref_peak=np.max(np.abs(expected)))
-    assert err < -80.0, f"reverb err {err:.1f} dB"
+    assert err < -90.0, f"reverb err {err:.1f} dB"
 
 
 def test_reverb_with_vibrato_statistical():

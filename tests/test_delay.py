@@ -50,7 +50,7 @@ def test_delay_matches_oracle(mode):
         min_delay_samples=b + 1,
     )
     err = ref.error_db(got, expected, ref_peak=np.max(np.abs(expected)))
-    assert err < -80.0, f"delay[{mode}] err {err:.1f} dB"
+    assert err < -90.0, f"delay[{mode}] err {err:.1f} dB"
 
 
 def test_delay_lfo_modulation_matches_oracle():

@@ -180,7 +180,7 @@ def test_gate_matches_reference_machine():
     gains = ref.gate_gains(burst, SR, -30.0, 0.005, 0.02, 0.05, -60.0)
     expected = burst * gains[None, :]
     err = ref.error_db(np.asarray(y), expected, ref_peak=0.5)
-    assert err < -80.0, f"gate err {err:.1f} dB"
+    assert err < -90.0, f"gate err {err:.1f} dB"
     # gate actually closes in silence
     assert np.max(np.abs(np.asarray(y)[:, n - 1000:])) < 1e-4
 
@@ -217,7 +217,7 @@ def test_compressor_matches_reference():
     _, y = _run_compressor(node, x, n)
     expected = ref.compressor(x, SR, -12.0, 4.0, 3.0, 0.01, 0.2, 3.0, 0.01)
     err = ref.error_db(np.asarray(y), expected, ref_peak=np.max(np.abs(expected)))
-    assert err < -80.0, f"compressor err {err:.1f} dB"
+    assert err < -90.0, f"compressor err {err:.1f} dB"
 
 
 def test_limiter_mode_with_lookahead():
@@ -230,7 +230,7 @@ def test_limiter_mode_with_lookahead():
     expected = ref.compressor(x, SR, comp_fx.DEFAULT_LIMITER_THRESHOLD, 20.0, 0.0,
                               0.005, 0.1, 0.0, 0.005)
     err = ref.error_db(np.asarray(y), expected, ref_peak=np.max(np.abs(expected)))
-    assert err < -80.0, f"limiter err {err:.1f} dB"
+    assert err < -90.0, f"limiter err {err:.1f} dB"
     # gain reduction engaged (the reference limiter does overshoot on square
     # transients shorter than its attack — we match that behaviour exactly)
     assert np.max(np.abs(np.asarray(y)[:, 5050:5100])) < 0.4
