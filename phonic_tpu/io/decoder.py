@@ -125,6 +125,16 @@ def decode_file(path):
         data, sr = read_flac(p)
         info = AudioFileInfo(str(p), sr, data.shape[0], data.shape[1], [])
         return data, info
+    if fmt == "mp3" and "mp3" not in _DECODERS:
+        from .mp3 import read_mp3
+        data, sr = read_mp3(p)
+        info = AudioFileInfo(str(p), sr, data.shape[0], data.shape[1], [])
+        return data, info
+    if fmt == "ogg" and "ogg" not in _DECODERS:
+        from .vorbis import read_vorbis
+        data, sr = read_vorbis(p)
+        info = AudioFileInfo(str(p), sr, data.shape[0], data.shape[1], [])
+        return data, info
     if fmt in _DECODERS:
         data, sr = _DECODERS[fmt](p)
         data = np.asarray(data, np.float32)
