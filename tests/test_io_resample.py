@@ -58,9 +58,23 @@ def test_wav_smpl_loop_chunk(tmp_path):
 
 
 def test_unsupported_format_message(tmp_path):
+    # ogg/mp3 now decode natively (io/vorbis.py, io/mp3.py); a format with
+    # no decoder still names itself and the register_decoder hook
+    p = tmp_path / "f.alac"
+    p.write_bytes(b"\x00\x01\x02\x03" + b"\x00" * 64)
+    with pytest.raises(UnsupportedFormatError, match="alac"):
+        decode_file(p)
+
+
+def test_corrupt_ogg_reports_media_error(tmp_path):
+    from phonic_tpu.errors import MediaFileError
+    from phonic_tpu.io.vorbis import vorbis_available
+
+    if not vorbis_available():
+        pytest.skip("no libvorbisfile")
     p = tmp_path / "f.ogg"
     p.write_bytes(b"OggS" + b"\x00" * 64)
-    with pytest.raises(UnsupportedFormatError, match="ogg"):
+    with pytest.raises(MediaFileError):
         decode_file(p)
 
 
