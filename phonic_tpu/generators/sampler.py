@@ -54,6 +54,10 @@ from ..params import EnumParameter
 
 NEVER = np.iinfo(np.int32).max
 
+# granular renders in sub-chunks of this size when block_frames exceeds it
+# (the grain pool allocates-then-renders per chunk; see _process_granular)
+_GRANULAR_CHUNK = 16384
+
 TRANSPOSE = IntegerParameter("STRN", "Transpose", -48, 48, 0, unit="st")
 FINETUNE = IntegerParameter("SFTN", "Finetune", -100, 100, 0, unit="ct")
 VOLUME = FloatParameter("SVOL", "Volume", 1e-6, 15.848932, 1.0,
@@ -698,12 +702,8 @@ class Sampler(Generator):
                                seed=self.seed ^ (0x9E37 * (voice_idx + 1)))
             mods = apply_matrix(src, amt, bip, src_bip)  # [7, n]
 
-            gr_state, audio = granular_voice_block(
-                gr_state,
-                frame0=frame0, n=n, sr=sr, mono_buf=mono, loop_range=loop_norm,
-                window_table=gwin,
-                note_start=note_start, held=held, speed=speed,
-                vol=eff_vol, pan=eff_pan,
+            per_sample = dict(
+                held=held, speed=speed, vol=eff_vol, pan=eff_pan,
                 size_ms=params[GRAIN_SIZE.id] * (1.0 + mods[0]),
                 density=params[GRAIN_DENSITY.id] * (1.0 + mods[1]),
                 variation=params[GRAIN_VARIATION.id] + mods[2],
@@ -713,10 +713,38 @@ class Sampler(Generator):
                 pos_mod=mods[5],
                 step=params[GRAIN_STEP.id],
                 speed_mod=mods[6],
-                overlap_mode=overlap, window_mode=wmode, direction=direction,
-                seed=self.seed ^ (voice_idx + 1) * 0x51ED,
-                max_triggers=max_trig,
+                window_mode=wmode, direction=direction,
             )
+
+            def run_chunk(gs, t0, cn, mt):
+                sl = {k: jax.lax.dynamic_slice(v, (t0,), (cn,))
+                      for k, v in per_sample.items()}
+                return granular_voice_block(
+                    gs, frame0=frame0 + t0, n=cn, sr=sr, mono_buf=mono,
+                    loop_range=loop_norm, window_table=gwin,
+                    note_start=note_start, overlap_mode=overlap,
+                    seed=self.seed ^ (voice_idx + 1) * 0x51ED,
+                    max_triggers=mt, **sl)
+
+            # Big blocks run the grain engine as a scan over sub-chunks: a
+            # slot is only reusable once its grain expired BEFORE the chunk
+            # being rendered (the pool allocates-then-renders), so the 100-
+            # slot pool supports at most ~pool/density seconds per chunk —
+            # chunking restores that invariant at any block size while
+            # keeping one dispatch per block.
+            if n > _GRANULAR_CHUNK and n % _GRANULAR_CHUNK == 0:
+                cn = _GRANULAR_CHUNK
+                mt = int(math.ceil(100.0 * cn / sr)) + 2
+
+                def chunk_body(gs, ci):
+                    return run_chunk(gs, ci * cn, cn, mt)
+
+                gr_state, autos = jax.lax.scan(
+                    chunk_body, gr_state,
+                    jnp.arange(n // cn, dtype=jnp.int32))
+                audio = jnp.moveaxis(autos, 0, 1).reshape(autos.shape[1], n)
+            else:
+                gr_state, audio = run_chunk(gr_state, jnp.int32(0), n, max_trig)
 
             # voice-level AHDSR (applied after the grain mix, voice.rs:470-486)
             if env_p is not None:
