@@ -123,9 +123,12 @@ def config_mastering():
 
 
 CONFIGS = {
+    # headline first: if a harness-level time budget cuts the run short,
+    # the metric that matters is already recorded (results are written
+    # incrementally)
+    "mixer_graph_16src": config_mixer_graph,
     "play_file": config_play_file,
     "sampler_64v": config_sampler_64,
-    "mixer_graph_16src": config_mixer_graph,
     "granular_1k": config_granular_1k,
     "mastering_chain": config_mastering,
 }

@@ -67,4 +67,9 @@ def morph_osc(phase, shape, freq=None, sr: int = 48000):
     ])
     lo = jnp.clip(shape.astype(jnp.int32), 0, 2)
     frac = shape - lo
-    return waves[lo] * (1.0 - frac) + waves[lo + 1] * frac
+    # shape may be a per-sample array (runtime-automated morph): select the
+    # two neighbour waves per sample
+    lo_b = jnp.broadcast_to(lo, waves.shape[1:])
+    wlo = jnp.take_along_axis(waves, lo_b[None], axis=0)[0]
+    whi = jnp.take_along_axis(waves, (lo_b + 1)[None], axis=0)[0]
+    return wlo * (1.0 - frac) + whi * frac

@@ -46,9 +46,23 @@ def organ(drawbars=(1.0, 0.6, 0.4, 0.25, 0.15)) -> SynthDef:
 def sub3(shape: float = 2.0, detune_cents: float = 7.0, cutoff: float = 2500.0,
          resonance: float = 0.4) -> SynthDef:
     """3-oscillator subtractive synth: detuned morphing oscillators into a
-    resonant SVF lowpass with an AHDSR."""
+    resonant SVF lowpass with an AHDSR.
 
-    det = 2.0 ** (detune_cents / 1200.0)
+    Declares its core controls as user FourCC parameters (the analog of the
+    reference sub3's shared parameters, examples/common/synths/sub3.rs:
+    27-80): engine-smoothed, settable via handles, and modulation targets
+    for SynthGenerator.with_modulation — modulation offsets arrive in
+    ``ctx.mods`` and multiply the cutoff / add to shape."""
+
+    from ..params import ExponentialScaling, FloatParameter
+
+    P_SHAPE = FloatParameter("SHAP", "Osc Shape", 0.0, 3.0, shape,
+                             smoothing=None)
+    P_DETUNE = FloatParameter("DETN", "Detune", 0.0, 50.0, detune_cents,
+                              unit="ct", smoothing=None)
+    P_CUTOFF = FloatParameter("CUTF", "Cutoff", 20.0, 20000.0, cutoff,
+                              unit="Hz", scaling=ExponentialScaling(2.5))
+    P_RESO = FloatParameter("RESO", "Resonance", 0.0, 0.95, resonance)
 
     def init(ctx: BuildCtx):
         return {
@@ -57,22 +71,31 @@ def sub3(shape: float = 2.0, detune_cents: float = 7.0, cutoff: float = 2500.0,
         }
 
     def render(state, ctx: SynthContext):
+        shape_v = ctx.params.get("SHAP", jnp.float32(shape)) \
+            + ctx.mods.get("SHAP", 0.0)
+        det_c = ctx.params.get("DETN", jnp.float32(detune_cents))
+        det = jnp.exp2(det_c / 1200.0)
+        cut_p = ctx.params.get("CUTF", jnp.float32(cutoff)) \
+            * (1.0 + ctx.mods.get("CUTF", 0.0))
+        res = ctx.params.get("RESO", jnp.float32(resonance))
         freqs = [ctx.freq, ctx.freq * det, ctx.freq / det]
         mix = jnp.zeros((ctx.block_frames,), jnp.float32)
         ends = []
         for k, f in enumerate(freqs):
             ph, end = osc.phase_accumulate(state["phase"][k], f, ctx.sample_rate)
-            mix = mix + osc.morph_osc(ph, shape, f, ctx.sample_rate)
+            mix = mix + osc.morph_osc(ph, shape_v, f, ctx.sample_rate)
             ends.append(end)
         mix = mix / 3.0
         env = _env(ctx, 0.01, 0.0, 0.3, 0.6, 0.15)
         # envelope also sweeps the filter cutoff
-        cut = jnp.clip(cutoff * (0.2 + 0.8 * env), 20.0, ctx.sample_rate / 2.0)
-        coefs = filters.svf_coefficients(filters.LOWPASS, ctx.sample_rate, cut, resonance)
+        cut = jnp.clip(cut_p * (0.2 + 0.8 * env), 20.0, ctx.sample_rate / 2.0)
+        coefs = filters.svf_coefficients(filters.LOWPASS, ctx.sample_rate,
+                                         cut, res)
         svf, filtered = filters.tpt_process(state["svf"], mix[None, :], coefs)
         return {"phase": jnp.stack(ends), "svf": svf}, filtered[0] * env
 
-    return SynthDef(init=init, render=render, channels=1)
+    return SynthDef(init=init, render=render, channels=1,
+                    params=(P_SHAPE, P_DETUNE, P_CUTOFF, P_RESO))
 
 
 def dx7(ratio: float = 2.0, index: float = 3.0) -> SynthDef:
