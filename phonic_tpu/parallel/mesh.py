@@ -34,6 +34,65 @@ def data_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def graph_state_shardings(program: RenderProgram, mesh: Mesh,
+                          axis: str = "graph", lane_axis: Optional[str] = None):
+    """Sharding pytree for a RenderProgram state that partitions the
+    engine's INTERNAL batch axes — file-source lane banks and sibling
+    effect-chain lanes — across ``axis`` (the audio analog of tensor
+    parallelism: one graph's sources and parallel effect chains split over
+    chips, with GSPMD inserting the stem gathers/reductions over ICI).
+    With ``lane_axis`` set, leaves get a leading independent-lane dimension
+    sharded on that axis too (the 2D lanes x graph layout)."""
+    lead = (lane_axis,) if lane_axis else ()
+    repl = NamedSharding(mesh, P(*lead))
+    inner = NamedSharding(mesh, P(*lead, axis))
+    n_shards = mesh.shape[axis]
+
+    def tree(template, sh):
+        return jax.tree.map(lambda _: sh, template)
+
+    st = program.init_state()
+    out = tree(st, repl)
+    # a group's lane axis only shards when the mesh divides it evenly;
+    # otherwise that group stays replicated (still correct, just not split)
+    out["file_batches"] = {
+        g: tree(v, inner if len(program.file_batches[g].paths) % n_shards == 0
+                else repl)
+        for g, v in st["file_batches"].items()}
+    out["effect_batches"] = {
+        g: [tree(pi, inner if len(program.effect_batches[g]["effects"])
+                 % n_shards == 0 else repl) for pi in v]
+        for g, v in st["effect_batches"].items()}
+    return out
+
+
+class GraphShardedProgram:
+    """Model-parallel single graph over a device mesh: internal batch axes
+    shard via ``graph_state_shardings``; everything else (scalar node
+    states, the master effect chain) computes replicated, so the output is
+    bit-identical to the unsharded program (validated in
+    tests/test_parallel.py).  Best for graphs whose cost is dominated by
+    wide source banks / many homogeneous sub-mixer chains."""
+
+    def __init__(self, program: RenderProgram, mesh: Mesh,
+                 axis: str = "graph"):
+        self.program = program
+        self.mesh = mesh
+        st_sh = graph_state_shardings(program, mesh, axis)
+        self._st_sh = st_sh
+        # inputs stay unannotated (host numpy -> replicated); annotating
+        # them would require lowering a block at construction, which has
+        # host side effects (consumes scheduled resets / feeder windows)
+        self.step = jax.jit(program._step, in_shardings=(st_sh, None),
+                            out_shardings=(st_sh, NamedSharding(mesh, P())))
+
+    def init_state(self):
+        return jax.device_put(self.program.init_state(), self._st_sh)
+
+    def block_inputs(self, block_index: int):
+        return self.program.block_inputs(block_index)
+
+
 class BatchedRenderProgram:
     """vmap + shard a RenderProgram over independent lanes."""
 

@@ -42,3 +42,69 @@ def test_mixdown_collective():
     assert audio.shape == (1, 2, 1024)
     single = make_prog().render(duration_frames=1024)
     np.testing.assert_allclose(np.asarray(audio[0]), 8.0 * single, atol=1e-4)
+
+
+def make_wide_prog(n_sources=8, n_subs=4, block=1024):
+    """Flagship-shaped graph: batched file lanes + batched sibling effect
+    chains — the internal axes GraphShardedProgram partitions."""
+    from phonic_tpu.effects.gain import GainEffect
+
+    rng = np.random.default_rng(3)
+    main = Mixer("main")
+    subs = [main.add_mixer(Mixer(f"s{i}")) for i in range(n_subs)]
+    for i in range(n_sources):
+        t = np.arange(6000 + 500 * i) / SR
+        buf = AudioFileBuffer.from_array(
+            (0.3 * np.sin(2 * np.pi * float(rng.uniform(100, 500)) * t))
+            .astype(np.float32)[None, :], SR)
+        subs[i % n_subs].add_source(FileSource(buf, FilePlaybackOptions(
+            repeat=None, fade_out_secs=0.0,
+            volume=float(rng.uniform(0.3, 0.8)))))
+    for s in subs:
+        s.add_effect(GainEffect(gain=0.9))
+    return RenderProgram(main, EngineConfig(sample_rate=SR, block_frames=block))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_graph_sharded_program_matches_unsharded():
+    """Model-parallel single graph: internal batch axes sharded over the
+    mesh must be BIT-identical to the unsharded program."""
+    from jax.sharding import Mesh
+    from phonic_tpu.parallel.mesh import GraphShardedProgram
+
+    prog = make_wide_prog()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    sharded = GraphShardedProgram(prog, mesh)
+    st = sharded.init_state()
+    outs = []
+    for b in range(4):
+        st, y = sharded.step(st, sharded.block_inputs(b))
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=-1)
+
+    ref = make_wide_prog().render(duration_frames=4096)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_2d_lanes_by_graph_sharding_matches():
+    """Lanes on "data" x internal axes on "graph" (the 2D layout the
+    driver's dryrun exercises) must match the plain vmapped step."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from phonic_tpu.parallel.mesh import graph_state_shardings
+
+    prog = make_wide_prog()
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "graph"))
+    st_sh = graph_state_shardings(prog, mesh, "graph", lane_axis="data")
+    lanes = 2
+    states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[prog.init_state() for _ in range(lanes)])
+    inp = prog.block_inputs(0)
+    tiled = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x), (lanes,) + np.shape(x)).copy(),
+        inp)
+    vstep = jax.jit(jax.vmap(prog._step), in_shardings=(st_sh, None))
+    _, audio = vstep(states, tiled)
+    _, ref = jax.jit(jax.vmap(prog._step))(states, tiled)
+    np.testing.assert_array_equal(np.asarray(audio), np.asarray(ref))
