@@ -52,11 +52,33 @@ class ParamTimeline:
         """Schedule a target change at an absolute sample time.  Events at
         duplicate times overwrite in arrival order (stable).  ``ramp=True``
         interpolates linearly from the previous value, arriving exactly at
-        ``sample_time``."""
+        ``sample_time``.
+
+        A plain (non-ramp) set cancels the remainder of any glide in flight
+        across ``sample_time``: the reference's speed update replaces the
+        glide target when the message fires (src/source/file/common.rs:
+        141-169), so stale glide knots past the set must not resurrect the
+        old trajectory."""
+        if not ramp:
+            self._clear_glide_tail(sample_time)
+        self._insert(sample_time, value, ramp)
+
+    def _insert(self, sample_time: int, value: float, ramp: bool):
         i = bisect.bisect_right(self.times, sample_time)
         self.times.insert(i, int(sample_time))
         self.values.insert(i, float(value))
         self.ramps.insert(i, bool(ramp))
+
+    def _clear_glide_tail(self, after_t: int):
+        """Drop the contiguous run of ramp knots strictly after ``after_t``
+        (the lowered tail of a glide crossing that time); stops at the
+        first non-ramp event, which marks an independent later schedule."""
+        i = bisect.bisect_right(self.times, int(after_t))
+        j = i
+        while j < len(self.times) and self.ramps[j]:
+            j += 1
+        if j > i:
+            del self.times[i:j], self.values[i:j], self.ramps[i:j]
 
     def value_at(self, sample_time: int) -> float:
         """Value in effect at (just before) ``sample_time``; interpolates
@@ -87,14 +109,25 @@ class ParamTimeline:
         ):
             self.set_at(t, target)
             return
-        # anchor the ramp start so the first knot lerps from `current`
-        self.set_at(t, current)
+        # anchor the ramp start so the first knot lerps from `current`.
+        # Clear any older glide's tail crossing t, and insert the anchor as
+        # a RAMP: value_at(t) lies on the previous segment's trajectory, so
+        # a ramp anchor continues it exactly through the cleared partial
+        # knot window (a step anchor would flatten up to 512 frames)
+        self._clear_glide_tail(t)
+        self._insert(t, current, True)
+        # a later-scheduled event truncates the trajectory: the reference's
+        # message would replace the glide when it fires
+        i = bisect.bisect_right(self.times, t)
+        next_t = self.times[i] - t if i < len(self.times) else None
         c = current
         chunk = 0  # relative start frame of the chunk being computed; the
         # reference updates speed at chunk START, so the value computed here
         # is in effect during [chunk, chunk + 64)
         last_knot = -1
         while abs(target - c) > 1e-4:
+            if next_t is not None and chunk >= next_t:
+                break  # a later schedule takes over from here
             semitones = abs(12.0 * math.log2(target / c))
             dur_frames = semitones / rate * float(sample_rate)
             if dur_frames <= 0.0:
@@ -109,8 +142,9 @@ class ParamTimeline:
             if chunk > (1 << 30):  # unreachable safety net
                 break
         reached = max(chunk - GLIDE_CHUNK_FRAMES, 0)
-        if reached != last_knot:
-            self.set_at(t + reached, target, ramp=True)
+        if reached != last_knot and (next_t is None or reached < next_t):
+            final = target if abs(target - c) <= 1e-4 else c
+            self.set_at(t + reached, final, ramp=True)
 
     def lower_block(self, block_start: int, block_len: int, max_events: int):
         """-> (times int32[K], values float32[K], ramps float32[K]) with
