@@ -45,11 +45,44 @@ NEVER = np.iinfo(np.int32).max
 _step_targets = smoothing.step_targets
 
 
+class _FrozenMixer:
+    """Immutable snapshot of a Mixer's structure (shared node objects, fixed
+    lists) — what a compiled program traces over."""
+
+    __slots__ = ("name", "sources", "effects", "children")
+
+    def __init__(self, name, sources, effects, children):
+        self.name = name
+        self.sources = sources
+        self.effects = effects
+        self.children = children
+
+    def walk(self, prefix: str = ""):
+        me = f"{prefix}{self.name}"
+        yield me, "mixer", self
+        for s in self.sources:
+            yield f"{me}/{s.name}", "source", s
+        for e in self.effects:
+            yield f"{me}/{e.name}", "effect", e
+        for c in self.children:
+            yield from c.walk(f"{me}/")
+
+
+def _freeze_mixer(m: Mixer) -> _FrozenMixer:
+    return _FrozenMixer(m.name, tuple(m.sources), tuple(m.effects),
+                        tuple(_freeze_mixer(c) for c in m.children))
+
+
 class RenderProgram:
     """A compiled render program for one graph topology."""
 
     def __init__(self, root: Mixer, config: EngineConfig = DEFAULT_CONFIG):
         self.root = root
+        # Freeze the topology NOW: the live Mixer lists may be mutated by a
+        # control thread after construction (Player.add_effect/add_mixer
+        # followed by _invalidate), and a program must never see nodes it
+        # didn't index — tracing iterates these lists.
+        self._frozen = _freeze_mixer(root)
         self.config = config
         self.ctx = BuildCtx(
             sample_rate=config.sample_rate,
@@ -274,13 +307,13 @@ class RenderProgram:
             for c in m.children:
                 visit(c, f"{me}/")
 
-        visit(self.root, "")
+        visit(self._frozen, "")
 
     def _index_nodes(self):
         self.nodes: dict[str, Node] = {}
         self.source_paths: list[str] = []
         self.path_of: dict[int, str] = {}
-        for path, kind, obj in self.root.walk():
+        for path, kind, obj in self._frozen.walk():
             if kind == "mixer":
                 continue
             if path in self.nodes:
@@ -510,7 +543,7 @@ class RenderProgram:
                 t += e.tail_frames(self.ctx)
             return t
 
-        return mixer_tail(self.root)
+        return mixer_tail(self._frozen)
 
     # ------------------------------------------------------------------
     # state + inputs
@@ -560,7 +593,7 @@ class RenderProgram:
             # EffectProcessor starts in the stopped state, effect.rs:94-107)
             st["bypass"] = {
                 path: jnp.int32(1 << 30)
-                for path, kind, _ in self.root.walk() if kind == "effect"
+                for path, kind, _ in self._frozen.walk() if kind == "effect"
             }
         return st
 
@@ -796,7 +829,7 @@ class RenderProgram:
             mixer_levels[me] = _meter(acc)
             return acc
 
-        audio = render_mixer(self.root, "")
+        audio = render_mixer(self._frozen, "")
         new_state = {"nodes": new_nodes, "smoothers": new_smoothers,
                      "file_batches": new_batches,
                      "effect_batches": new_effect_batches}

@@ -107,7 +107,8 @@ class _Handle:
         """Deliver a node-specific message (reference: send_message on the
         effect/generator handles); applies at the block containing ``at``
         (default: the current playback position)."""
-        self._node.handle_message(message, time=self._player._when(at))
+        with self._player._control_lock:
+            self._node.handle_message(message, time=self._player._when(at))
 
 
 class PlaybackHandle(_Handle):
@@ -137,7 +138,8 @@ class PlaybackHandle(_Handle):
 
     def seek(self, to_source_frame: float, at: Optional[int] = None):
         """Seek a file source (reference: FilePlaybackHandle::seek)."""
-        self._node.seek(self._player._when(at), to_source_frame)
+        with self._player._control_lock:
+            self._node.seek(self._player._when(at), to_source_frame)
 
     def is_playing(self) -> bool:
         return self._player._is_playing(self._node)
@@ -154,13 +156,17 @@ class GeneratorPlaybackHandle(_Handle):
 
     def note_on(self, note: int, volume: float = 1.0, panning: float = 0.0,
                 at: Optional[int] = None) -> int:
-        return self._node.note_on(note, volume, panning, self._player._when(at))
+        with self._player._control_lock:
+            return self._node.note_on(note, volume, panning,
+                                      self._player._when(at))
 
     def note_off(self, note_id: int, at: Optional[int] = None):
-        self._node.note_off(note_id, self._player._when(at))
+        with self._player._control_lock:
+            self._node.note_off(note_id, self._player._when(at))
 
     def all_notes_off(self, at: Optional[int] = None):
-        self._node.all_notes_off(self._player._when(at))
+        with self._player._control_lock:
+            self._node.all_notes_off(self._player._when(at))
 
     def set_note_volume(self, note_id: int, volume: float,
                         at: Optional[int] = None):
@@ -237,6 +243,12 @@ class Player:
         self._level = AudioLevel(np.zeros(channels), np.zeros(channels))
         self._pump_thread: Optional[threading.Thread] = None
         self._pump_stop = threading.Event()
+        # Control plane vs render pump: the reference decouples them with
+        # lock-free queues drained at block boundaries (src/source/mixed.rs:
+        # 233-234); here a single reentrant lock serializes control
+        # mutations against the block step — worst-case control latency is
+        # one block render, the same bound the reference's queues give.
+        self._control_lock = threading.RLock()
         self._cpu_alpha = 0.2
         # GuardedSource analog (reference: src/source/guarded.rs): a
         # non-finite master block is replaced by silence and reported once
@@ -254,13 +266,15 @@ class Player:
     # ------------------------------------------------------------------
 
     def _invalidate(self):
-        if self._program is not None:
-            # stash the old program + state: the next _ensure_program adopts
-            # timelines, schedules and node states so unrelated sources keep
-            # playing through topology edits (reference: src/player.rs)
-            self._carry = (self._program, self._state)
-            self._program = None
-            self._state = None
+        with self._control_lock:
+            if self._program is not None:
+                # stash the old program + state: the next _ensure_program
+                # adopts timelines, schedules and node states so unrelated
+                # sources keep playing through topology edits
+                # (reference: src/player.rs)
+                self._carry = (self._program, self._state)
+                self._program = None
+                self._state = None
 
     def add_mixer(self, parent: Optional[Mixer] = None) -> MixerHandle:
         m = (parent or self.main_mixer).add_mixer()
@@ -339,43 +353,49 @@ class Player:
         return self._position if at is None else int(at)
 
     def _set_parameter(self, node, pid, value, at):
-        when = self._when(at)
-        if self._program is None:
-            self._pending.append(lambda p: p.set_parameter(node, pid, value, when))
-        else:
-            self._program.set_parameter(node, pid, value, when)
+        with self._control_lock:
+            when = self._when(at)
+            if self._program is None:
+                self._pending.append(
+                    lambda p: p.set_parameter(node, pid, value, when))
+            else:
+                self._program.set_parameter(node, pid, value, when)
 
     def _set_parameter_normalized(self, node, pid, normalized, at):
-        when = self._when(at)
-        if self._program is None:
-            self._pending.append(
-                lambda p: p.set_parameter_normalized(node, pid, normalized, when))
-        else:
-            self._program.set_parameter_normalized(node, pid, normalized, when)
+        with self._control_lock:
+            when = self._when(at)
+            if self._program is None:
+                self._pending.append(
+                    lambda p: p.set_parameter_normalized(node, pid, normalized, when))
+            else:
+                self._program.set_parameter_normalized(node, pid, normalized, when)
 
     def remove_all_pending_events(self, at: Optional[int] = None):
         """Clear every scheduled parameter/stop event at or after ``at``
         (reference: MixerMessage::RemoveAllPendingEvents)."""
-        when = self._when(at)
-        if self._program is None:
-            self._pending.append(lambda p: p.remove_pending_events(None, when))
-        else:
-            self._program.remove_pending_events(None, when)
+        with self._control_lock:
+            when = self._when(at)
+            if self._program is None:
+                self._pending.append(lambda p: p.remove_pending_events(None, when))
+            else:
+                self._program.remove_pending_events(None, when)
 
     def _set_parameter_glide(self, node, pid, value, rate, at):
-        when = self._when(at)
-        if self._program is None:
-            self._pending.append(
-                lambda p: p.set_parameter_glide(node, pid, value, rate, when))
-        else:
-            self._program.set_parameter_glide(node, pid, value, rate, when)
+        with self._control_lock:
+            when = self._when(at)
+            if self._program is None:
+                self._pending.append(
+                    lambda p: p.set_parameter_glide(node, pid, value, rate, when))
+            else:
+                self._program.set_parameter_glide(node, pid, value, rate, when)
 
     def _stop_source(self, node, at, kill=False):
-        when = self._when(at)
-        if self._program is None:
-            self._pending.append(lambda p: p.stop_source(node, when, kill=kill))
-        else:
-            self._program.stop_source(node, when, kill=kill)
+        with self._control_lock:
+            when = self._when(at)
+            if self._program is None:
+                self._pending.append(lambda p: p.stop_source(node, when, kill=kill))
+            else:
+                self._program.stop_source(node, when, kill=kill)
 
     def _is_playing(self, node) -> bool:
         prog = self._ensure_program()
@@ -465,7 +485,12 @@ class Player:
     # ------------------------------------------------------------------
 
     def render_block(self) -> np.ndarray:
-        """Render exactly one block, updating metrics, and advance time."""
+        """Render exactly one block, updating metrics, and advance time.
+        Thread-safe against the control-plane methods (see _control_lock)."""
+        with self._control_lock:
+            return self._render_block_locked()
+
+    def _render_block_locked(self) -> np.ndarray:
         prog = self._ensure_program()
         t0 = time.perf_counter()
         block_index = self._position // prog.ctx.block_frames
