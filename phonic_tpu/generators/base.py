@@ -27,6 +27,10 @@ class GeneratorPlaybackOptions:
     panning: float = 0.0
     voices: int = 8
     fade_out_secs: float = 0.05
+    # enable the per-generator CPU-load probe readable via
+    # GeneratorPlaybackHandle.cpu_load() (reference: src/generator.rs:41-78
+    # measure_cpu_load option)
+    measure_cpu_load: bool = False
 
 
 @dataclasses.dataclass

@@ -192,6 +192,12 @@ class GeneratorPlaybackHandle(_Handle):
     def clear_modulation(self, source: str, target: str):
         self._node.clear_modulation(source, target)
 
+    def cpu_load(self) -> Optional["CpuLoad"]:
+        """Per-generator CPU-load probe; None unless played with
+        measure_cpu_load=True (reference:
+        src/player/handles/generator.rs:75-79)."""
+        return self._player.source_cpu_load(self._node)
+
 
 class EffectHandle(_Handle):
     pass

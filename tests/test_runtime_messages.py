@@ -135,3 +135,19 @@ def test_per_source_cpu_load_probe():
     assert load is not None and load.average > 0.0
     assert load.peak >= load.average
     assert h_off.cpu_load() is None
+
+
+def test_generator_cpu_load_probe():
+    """reference: GeneratorPlaybackHandle::cpu_load
+    (src/player/handles/generator.rs:75-79)."""
+    from phonic_tpu.generators.sampler import Sampler
+    from phonic_tpu.generators.base import GeneratorPlaybackOptions
+
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    g = Sampler(ramp_buffer(), GeneratorPlaybackOptions(voices=4,
+                                                        measure_cpu_load=True))
+    h = player.play_generator(g)
+    h.note_on(60, volume=0.5)
+    player.run(duration_frames=4096)
+    load = h.cpu_load()
+    assert load is not None and load.average > 0.0
