@@ -20,6 +20,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <cmath>
 #include <dlfcn.h>
 #include <thread>
 
@@ -57,6 +58,8 @@ struct AlsaApi {
 };
 
 constexpr int SND_PCM_STREAM_PLAYBACK = 0;
+constexpr int SND_PCM_FORMAT_S16_LE = 2;
+constexpr int SND_PCM_FORMAT_S32_LE = 10;
 constexpr int SND_PCM_FORMAT_FLOAT_LE = 14;
 constexpr int SND_PCM_ACCESS_RW_INTERLEAVED = 3;
 
@@ -74,7 +77,21 @@ struct Ring {
     AlsaApi alsa;
     void* pcm = nullptr;
     bool use_alsa = false;
+    // negotiated device sample format (reference dispatches i8..f64 with an
+    // f32 fast path, src/output/cpal.rs:509-561; FLOAT_LE is tried first,
+    // then S32_LE, then S16_LE — the formats real ALSA devices offer)
+    int alsa_format = SND_PCM_FORMAT_FLOAT_LE;
 };
+
+inline int16_t f32_to_s16(float v) {
+    float c = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+    return (int16_t)lrintf(c * 32767.0f);
+}
+
+inline int32_t f32_to_s32(float v) {
+    float c = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+    return (int32_t)llrintf((double)c * 2147483647.0);
+}
 
 uint32_t next_pow2(uint32_t v) {
     uint32_t p = 1;
@@ -85,6 +102,8 @@ uint32_t next_pow2(uint32_t v) {
 void consumer_loop(Ring* r) {
     const uint32_t chunk = 256;  // frames per device write (~5.3 ms at 48k)
     float* scratch = (float*)std::malloc(sizeof(float) * chunk * r->channels);
+    // conversion buffer for integer device formats (s32 covers s16 too)
+    int32_t* conv = (int32_t*)std::malloc(sizeof(int32_t) * chunk * r->channels);
     auto next_deadline = std::chrono::steady_clock::now();
     const auto chunk_ns = std::chrono::nanoseconds(
         (int64_t)(1e9 * chunk / r->sample_rate));
@@ -110,7 +129,18 @@ void consumer_loop(Ring* r) {
         r->read_pos.store(rp + frames, std::memory_order_release);
 
         if (r->use_alsa) {
-            long got = r->alsa.writei(r->pcm, scratch, chunk);
+            const void* buf = scratch;
+            if (r->alsa_format == SND_PCM_FORMAT_S16_LE) {
+                int16_t* s16 = (int16_t*)conv;
+                for (uint32_t i = 0; i < chunk * r->channels; ++i)
+                    s16[i] = f32_to_s16(scratch[i]);
+                buf = conv;
+            } else if (r->alsa_format == SND_PCM_FORMAT_S32_LE) {
+                for (uint32_t i = 0; i < chunk * r->channels; ++i)
+                    conv[i] = f32_to_s32(scratch[i]);
+                buf = conv;
+            }
+            long got = r->alsa.writei(r->pcm, buf, chunk);
             if (got < 0) r->alsa.recover(r->pcm, (int)got, 1);
         } else {
             next_deadline += chunk_ns;
@@ -118,6 +148,7 @@ void consumer_loop(Ring* r) {
         }
     }
     std::free(scratch);
+    std::free(conv);
 }
 
 }  // namespace
@@ -184,12 +215,21 @@ void* ph_ring_create_dev(uint32_t capacity_frames, uint32_t sample_rate,
                                   sizeof(float));
     const char* dev = (device && *device) ? device : "default";
     if (try_alsa && r->alsa.load()) {
-        if (r->alsa.open_(&r->pcm, dev, SND_PCM_STREAM_PLAYBACK, 0) == 0 &&
-            r->alsa.set_params(r->pcm, SND_PCM_FORMAT_FLOAT_LE,
-                               SND_PCM_ACCESS_RW_INTERLEAVED, channels,
-                               sample_rate, 1, 100000 /* 100 ms */) == 0) {
-            r->use_alsa = true;
-        } else if (r->pcm) {
+        if (r->alsa.open_(&r->pcm, dev, SND_PCM_STREAM_PLAYBACK, 0) == 0) {
+            const int formats[] = {SND_PCM_FORMAT_FLOAT_LE,
+                                   SND_PCM_FORMAT_S32_LE,
+                                   SND_PCM_FORMAT_S16_LE};
+            for (int fmt : formats) {
+                if (r->alsa.set_params(r->pcm, fmt,
+                                       SND_PCM_ACCESS_RW_INTERLEAVED, channels,
+                                       sample_rate, 1, 100000 /* 100 ms */) == 0) {
+                    r->alsa_format = fmt;
+                    r->use_alsa = true;
+                    break;
+                }
+            }
+        }
+        if (!r->use_alsa && r->pcm) {
             r->alsa.close_(r->pcm);
             r->pcm = nullptr;
         }
