@@ -298,10 +298,27 @@ class Player:
         self._invalidate()
         return EffectHandle(self, effect)
 
-    def move_effect(self, effect: Effect, new_index: int,
+    def move_effect(self, effect: Effect, movement,
                     mixer: Optional[Mixer] = None):
-        """reference: EffectMovement (src/player.rs:75-82)."""
-        (mixer or self.main_mixer).move_effect(effect, new_index)
+        """Reorder an effect within its mixer's chain (reference:
+        EffectMovement, src/player.rs:75-82).  ``movement`` is an absolute
+        index, "start", "end", or ("by", delta) for a relative shift."""
+        target = mixer or self.main_mixer
+        if effect not in target.effects:
+            raise NotFoundError(
+                f"effect {effect.name!r} is not on mixer {target.name!r}")
+        cur = target.effects.index(effect)
+        if movement == "start":
+            idx = 0
+        elif movement == "end":
+            idx = len(target.effects) - 1
+        elif isinstance(movement, tuple) and len(movement) == 2 \
+                and movement[0] == "by":
+            idx = max(min(cur + int(movement[1]),
+                          len(target.effects) - 1), 0)
+        else:
+            idx = int(movement)
+        target.move_effect(effect, idx)
         self._invalidate()
 
     def remove_effect(self, effect: Effect, mixer: Optional[Mixer] = None):

@@ -151,3 +151,33 @@ def test_generator_cpu_load_probe():
     player.run(duration_frames=4096)
     load = h.cpu_load()
     assert load is not None and load.average > 0.0
+
+
+def test_effect_movement_variants():
+    """reference: EffectMovement Start/End/Direction (src/player.rs:75-82,
+    940-975) — movement stays within the owning mixer and errors for a
+    foreign effect."""
+    from phonic_tpu.effects.gain import GainEffect
+    from phonic_tpu.errors import NotFoundError
+
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    sub = player.add_mixer()  # the main mixer keeps its master gain last
+    a = GainEffect(gain=0.9, name="a")
+    b = GainEffect(gain=0.8, name="b")
+    c = GainEffect(gain=0.7, name="c")
+    for e in (a, b, c):
+        player.add_effect(e, mixer=sub.mixer)
+    m = sub.mixer
+    assert [e.name for e in m.effects] == ["a", "b", "c"]
+    player.move_effect(c, "start", mixer=m)
+    assert m.effects[0].name == "c"
+    player.move_effect(c, "end", mixer=m)
+    assert m.effects[-1].name == "c"
+    player.move_effect(c, ("by", -1), mixer=m)
+    assert m.effects[1].name == "c"
+    player.move_effect(c, 0, mixer=m)
+    assert m.effects[0].name == "c"
+
+    import pytest as _pytest
+    with _pytest.raises(NotFoundError):
+        player.move_effect(c, "start")  # c is not on the main mixer
