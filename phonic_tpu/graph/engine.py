@@ -408,15 +408,18 @@ class RenderProgram:
         new_state = self.init_state()
 
         def _old_pos(path):
-            st = old_state["nodes"].get(path)
-            if isinstance(st, dict) and "base" in st:
-                return st["base"], st["frac"], st.get(
-                    "frac_lo", jnp.zeros((), jnp.float32))
+            # the BATCH lane is authoritative for a batched source: its
+            # state["nodes"] entry is an unused init placeholder (the step
+            # passes it through untouched), so check the batch FIRST
             loc = old._batched_row.get(path)
             if loc is not None:
                 og, oi = loc
                 b = old_state["file_batches"][og]
                 return b["base"][oi], b["frac"][oi], b["frac_lo"][oi]
+            st = old_state["nodes"].get(path)
+            if isinstance(st, dict) and "base" in st:
+                return st["base"], st["frac"], st.get(
+                    "frac_lo", jnp.zeros((), jnp.float32))
             return None
 
         def _tree_match(a, b):
@@ -468,9 +471,13 @@ class RenderProgram:
                             lambda nb, ol: nb.at[lane].set(ol), per_i[i], ost)
             eff_batches[gid] = per_i
         new_state["effect_batches"] = eff_batches
-        # a file source that used to be batched and is now unbatched
+        # a file source that used to be batched and is now unbatched: the
+        # wholesale copy above moved its stale placeholder, so override the
+        # position fields from the old batch lane
         for path in list(nodes):
-            if path in old._batched_row and path not in old_state["nodes"]                     and isinstance(nodes[path], dict) and "base" in nodes[path]:
+            if (path in old._batched_row and path not in self._batched_row
+                    and isinstance(nodes[path], dict)
+                    and "base" in nodes[path]):
                 pos = _old_pos(path)
                 if pos is not None:
                     nodes[path] = dict(nodes[path], base=jnp.asarray(pos[0]),

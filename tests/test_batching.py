@@ -65,3 +65,53 @@ def test_batched_loops_and_repeats():
     a = make(True).render(duration_frames=8192)
     b = make(False).render(duration_frames=8192)
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_adopt_carries_batched_effect_state():
+    """Topology edits must carry batched effect-chain lane states (delay
+    rings keep ringing through an adopt), covering RenderProgram.adopt's
+    effect_batches transfer in both directions."""
+    import dataclasses
+
+    from phonic_tpu import EngineConfig, FilePlaybackOptions, FileSource, Mixer, RenderProgram
+    from phonic_tpu.effects.delay import DelayEffect
+    from phonic_tpu.effects.gain import GainEffect
+    from phonic_tpu.io.decoder import AudioFileBuffer
+
+    SR = 48000
+
+    def build(extra_effect):
+        t = np.arange(6000) / SR
+        main = Mixer("main")
+        subs = [main.add_mixer(Mixer(f"s{i}")) for i in range(2)]
+        for i, s in enumerate(subs):
+            tone = (0.5 * np.sin(2 * np.pi * (220 + 110 * i) * t)).astype(np.float32)
+            s.add_source(FileSource(
+                AudioFileBuffer.from_array(tone[None, :], SR),
+                FilePlaybackOptions(fade_out_secs=0.0), name=f"src{i}"))
+            s.add_effect(DelayEffect(delay_ms=80.0, feedback=0.5, wet=0.8,
+                                     name=f"d{i}"))
+        if extra_effect:
+            main.add_effect(GainEffect(gain=1.0, name="master2"))
+        return main
+
+    cfg = EngineConfig(sample_rate=SR, block_frames=2048)
+    root = build(False)
+    prog1 = RenderProgram(root, cfg)
+    assert prog1.effect_batches, "expected a 2-lane delay batch"
+    state = prog1.init_state()
+    for b in range(4):  # tone ends at 6000; delay tail keeps ringing
+        state, y = prog1._jit_step(state, prog1.block_inputs(b))
+
+    # topology edit: add a master effect -> rebuild + adopt
+    root.add_effect(GainEffect(gain=1.0, name="master2"))
+    prog2 = RenderProgram(root, cfg)
+    assert prog2.effect_batches
+    state2 = prog2.adopt(prog1, state)
+    state2, y2 = prog2._jit_step(state2, prog2.block_inputs(4))
+    tail = float(np.abs(np.asarray(y2)).max())
+    assert tail > 1e-4, "delay tail lost across adopt"
+
+    # and the carried tail matches rendering without the edit
+    state, y_ref = prog1._jit_step(state, prog1.block_inputs(4))
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=1e-6)
