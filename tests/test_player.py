@@ -222,3 +222,32 @@ def test_topology_edit_keeps_sources_playing():
     lead = audio[0, :64] * SR
     assert lead[0] == pytest.approx(4096.0, abs=1.0), lead[0]
     assert np.all(np.diff(lead) > 0.4)
+
+
+def test_topology_edit_bit_exact_mid_ramp():
+    """An edit with a unity effect must be bit-identical to no edit — even
+    with an exp volume ramp and a speed glide mid-flight and batched file
+    lanes (regression: adopt once restarted batched sources from frame 0)."""
+    from phonic_tpu.effects.gain import GainEffect
+
+    t = np.arange(SR) / SR
+
+    def run(edit):
+        player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+        hs = []
+        for i in range(2):
+            tone = (0.4 * np.sin(2 * np.pi * (220 + 110 * i) * t)).astype(np.float32)
+            hs.append(player.play_file(
+                AudioFileBuffer.from_array(tone[None, :], SR),
+                FilePlaybackOptions(fade_out_secs=0.0)))
+        blocks = [player.render_block() for _ in range(2)]
+        hs[0].set_volume(0.05)            # exp smoother mid-trajectory
+        hs[1].set_speed(1.5, glide=8.0)   # glide knots mid-flight
+        blocks += [player.render_block()]
+        if edit:
+            player.add_effect(GainEffect(gain=1.0, name="extra"))
+        blocks += [player.render_block() for _ in range(4)]
+        player.close()
+        return np.concatenate(blocks, axis=-1)
+
+    np.testing.assert_array_equal(run(False), run(True))
