@@ -103,6 +103,8 @@ def _sniff_format(path: Path) -> str:
         return "flac"
     if head[:4] == b"OggS":
         return "ogg"
+    if head[4:8] == b"ftyp":
+        return "m4a"
     if head[:3] == b"ID3" or (len(head) > 1 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0):
         return "mp3"
     return path.suffix.lstrip(".").lower() or "unknown"
@@ -133,6 +135,11 @@ def decode_file(path):
     if fmt == "ogg" and "ogg" not in _DECODERS:
         from .vorbis import read_vorbis
         data, sr = read_vorbis(p)
+        info = AudioFileInfo(str(p), sr, data.shape[0], data.shape[1], [])
+        return data, info
+    if fmt == "m4a" and "m4a" not in _DECODERS:
+        from .alac import read_alac
+        data, sr = read_alac(p)
         info = AudioFileInfo(str(p), sr, data.shape[0], data.shape[1], [])
         return data, info
     if fmt in _DECODERS:

@@ -224,68 +224,159 @@ def read_flac(path):
     chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     decoded = 0
     while (total == 0 or decoded < total) and not br.eof():
-        sync = br.bits(14)
-        if sync != 0x3FFE:
-            raise MediaFileError(f"lost frame sync (0x{sync:04x})")
-        br.bits(1)  # reserved
-        br.bits(1)  # blocking strategy
-        bs_code = br.bits(4)
-        sr_code = br.bits(4)
-        ch_code = br.bits(4)
-        bps_code = br.bits(3)
-        br.bits(1)  # reserved
-        br.utf8_number()
-        if bs_code == 6:
-            blocksize = br.bits(8) + 1
-        elif bs_code == 7:
-            blocksize = br.bits(16) + 1
-        elif bs_code in _BLOCKSIZES:
-            blocksize = _BLOCKSIZES[bs_code]
-        else:
-            raise MediaFileError(f"reserved blocksize code {bs_code}")
-        if sr_code == 12:
-            br.bits(8)
-        elif sr_code in (13, 14):
-            br.bits(16)
-        elif sr_code != 0 and sr_code not in _RATES:
-            raise MediaFileError(f"invalid sample-rate code {sr_code}")
-        fbps = _BPS.get(bps_code, bps)
-        br.bits(8)  # header CRC-8 (not verified)
-
-        if ch_code < 8:
-            if ch_code + 1 != channels:
-                raise MediaFileError("channel count mismatch")
-            subs = [_read_subframe(br, blocksize, fbps)
-                    for _ in range(channels)]
-        elif ch_code in (8, 9, 10):
-            if channels != 2:
-                raise MediaFileError("stereo decorrelation in non-stereo file")
-            if ch_code == 8:  # left/side
-                left = _read_subframe(br, blocksize, fbps)
-                side = _read_subframe(br, blocksize, fbps + 1)
-                subs = [left, left - side]
-            elif ch_code == 9:  # right/side
-                side = _read_subframe(br, blocksize, fbps + 1)
-                right = _read_subframe(br, blocksize, fbps)
-                subs = [right + side, right]
-            else:  # mid/side
-                mid = _read_subframe(br, blocksize, fbps)
-                side = _read_subframe(br, blocksize, fbps + 1)
-                l = ((mid << 1) | (side & 1)) + side
-                subs = [l >> 1, (l - (side << 1)) >> 1]
-        else:
-            raise MediaFileError(f"reserved channel assignment {ch_code}")
-
-        br.align()
-        br.bits(16)  # frame CRC-16 (not verified)
+        subs = _decode_frame(br, channels, bps)
         for ci in range(channels):
             chans[ci].append(subs[ci])
-        decoded += blocksize
+        decoded += subs[0].shape[0]
 
     audio = np.stack([np.concatenate(c) for c in chans])
     if total:
         audio = audio[:, :total]
     return (audio.astype(np.float32) / float(1 << (bps - 1))), sr
+
+
+def _decode_frame(br: _BitReader, channels: int, bps: int) -> list:
+    """Decode one FLAC frame at the reader's position; returns the per-
+    channel int64 sample arrays (length = the frame's blocksize)."""
+    sync = br.bits(14)
+    if sync != 0x3FFE:
+        raise MediaFileError(f"lost frame sync (0x{sync:04x})")
+    br.bits(1)  # reserved
+    br.bits(1)  # blocking strategy
+    bs_code = br.bits(4)
+    sr_code = br.bits(4)
+    ch_code = br.bits(4)
+    bps_code = br.bits(3)
+    br.bits(1)  # reserved
+    br.utf8_number()
+    if bs_code == 6:
+        blocksize = br.bits(8) + 1
+    elif bs_code == 7:
+        blocksize = br.bits(16) + 1
+    elif bs_code in _BLOCKSIZES:
+        blocksize = _BLOCKSIZES[bs_code]
+    else:
+        raise MediaFileError(f"reserved blocksize code {bs_code}")
+    if sr_code == 12:
+        br.bits(8)
+    elif sr_code in (13, 14):
+        br.bits(16)
+    elif sr_code != 0 and sr_code not in _RATES:
+        raise MediaFileError(f"invalid sample-rate code {sr_code}")
+    fbps = _BPS.get(bps_code, bps)
+    br.bits(8)  # header CRC-8 (not verified)
+
+    if ch_code < 8:
+        if ch_code + 1 != channels:
+            raise MediaFileError("channel count mismatch")
+        subs = [_read_subframe(br, blocksize, fbps)
+                for _ in range(channels)]
+    elif ch_code in (8, 9, 10):
+        if channels != 2:
+            raise MediaFileError("stereo decorrelation in non-stereo file")
+        if ch_code == 8:  # left/side
+            left = _read_subframe(br, blocksize, fbps)
+            side = _read_subframe(br, blocksize, fbps + 1)
+            subs = [left, left - side]
+        elif ch_code == 9:  # right/side
+            side = _read_subframe(br, blocksize, fbps + 1)
+            right = _read_subframe(br, blocksize, fbps)
+            subs = [right + side, right]
+        else:  # mid/side
+            mid = _read_subframe(br, blocksize, fbps)
+            side = _read_subframe(br, blocksize, fbps + 1)
+            l = ((mid << 1) | (side & 1)) + side
+            subs = [l >> 1, (l - (side << 1)) >> 1]
+    else:
+        raise MediaFileError(f"reserved channel assignment {ch_code}")
+
+    br.align()
+    br.bits(16)  # frame CRC-16 (not verified)
+    return subs
+
+
+class FlacStream:
+    """Sequential FLAC decode with bounded host memory: the file is mmapped
+    (OS page cache, not process heap) and frames decode forward from a
+    cursor; `restart()` rewinds for backward jumps (the chunked reader's
+    LRU makes those rare).  Used by io/chunked.FlacChunkedReader."""
+
+    def __init__(self, path):
+        import mmap
+        self._f = open(path, "rb")
+        try:
+            self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # zero-length or exotic fs
+            self._mm = self._f.read()
+        data = self._mm
+        if data[:4] != b"fLaC":
+            raise MediaFileError(f"{path}: not a FLAC file")
+        pos = 4
+        info = None
+        while True:
+            if pos + 4 > len(data):
+                raise MediaFileError("missing STREAMINFO")
+            hdr = int.from_bytes(data[pos:pos + 4], "big")
+            last = hdr >> 31
+            btype = (hdr >> 24) & 0x7F
+            size = hdr & 0xFFFFFF
+            if btype == 0:
+                br = _BitReader(data[pos + 4:pos + 4 + size])
+                br.bits(16)
+                br.bits(16)
+                br.bits(24)
+                br.bits(24)
+                sr = br.bits(20)
+                channels = br.bits(3) + 1
+                bps = br.bits(5) + 1
+                total = br.bits(36)
+                info = (sr, channels, bps, total)
+            pos += 4 + size
+            if last:
+                break
+        if info is None:
+            raise MediaFileError("missing STREAMINFO")
+        self.sample_rate, self.channels, self._bps, self.total_frames = info
+        self._audio_bit0 = pos * 8
+        self.restart()
+
+    def restart(self):
+        self._br = _BitReader(self._mm)
+        self._br.pos = self._audio_bit0
+        self._decoded = 0  # stream frame index of the NEXT undecoded frame
+        self._pending = None  # (start_frame, float32 [ch, blocksize])
+
+    def position_of_pending(self) -> int:
+        """Earliest stream position still readable without a restart."""
+        return self._pending[0] if self._pending is not None else self._decoded
+
+    def read_at(self, lo: int, n: int) -> np.ndarray:
+        """Decode frames [lo, lo+n); requires lo >= position_of_pending()."""
+        out = np.zeros((self.channels, n), np.float32)
+        scale = np.float32(1.0 / (1 << (self._bps - 1)))
+
+        def blit(fstart, arr):
+            a = max(lo, fstart)
+            b = min(lo + n, fstart + arr.shape[1])
+            if b > a:
+                out[:, a - lo:b - lo] = arr[:, a - fstart:b - fstart]
+
+        if self._pending is not None:
+            blit(*self._pending)
+        while self._decoded < lo + n and self._decoded < self.total_frames \
+                and not self._br.eof():
+            subs = _decode_frame(self._br, self.channels, self._bps)
+            arr = (np.stack(subs).astype(np.float32) * scale)
+            fstart = self._decoded
+            self._decoded += arr.shape[1]
+            self._pending = (fstart, arr)
+            blit(fstart, arr)
+        return out
+
+    def close(self):
+        if hasattr(self._mm, "close"):
+            self._mm.close()
+        self._f.close()
 
 
 # ---------------------------------------------------------------------------

@@ -240,15 +240,24 @@ def _parse(data: bytes, info_only: bool):
         return None, info
 
     raw = np.frombuffer(audio, np.uint8)[: frames * bytes_per_frame]
+    x = decode_pcm_samples(raw, tag, bits)
+    x = x.reshape(frames, ch).T.copy()  # planar [channels, frames]
+    return x, info
+
+
+def decode_pcm_samples(raw: np.ndarray, tag: int, bits: int) -> np.ndarray:
+    """Interleaved raw PCM/float bytes -> flat float32 samples (shared by
+    the full decoder and the chunked reader, io/chunked.py)."""
+    raw = np.asarray(raw, np.uint8)
     if tag == WAVE_FORMAT_IEEE_FLOAT:
         dtype = np.float32 if bits == 32 else np.float64
-        x = raw.view(dtype).astype(np.float32)
-    elif tag == WAVE_FORMAT_PCM:
+        return raw.view(dtype).astype(np.float32)
+    if tag == WAVE_FORMAT_PCM:
         if bits == 8:
-            x = (raw.astype(np.float32) - 128.0) / 128.0
-        elif bits == 16:
-            x = raw.view("<i2").astype(np.float32) / 32768.0
-        elif bits == 24:
+            return (raw.astype(np.float32) - 128.0) / 128.0
+        if bits == 16:
+            return raw.view("<i2").astype(np.float32) / 32768.0
+        if bits == 24:
             b = raw.reshape(-1, 3)
             vals = (
                 b[:, 0].astype(np.uint32)
@@ -256,15 +265,11 @@ def _parse(data: bytes, info_only: bool):
                 | (b[:, 2].astype(np.uint32) << 16)
             ).astype(np.int32)
             vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-            x = vals.astype(np.float32) / float(1 << 23)
-        elif bits == 32:
-            x = raw.view("<i4").astype(np.float32) / float(1 << 31)
-        else:
-            raise ValueError(f"unsupported PCM bit depth {bits}")
-    else:
-        raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
-    x = x.reshape(frames, ch).T.copy()  # planar [channels, frames]
-    return x, info
+            return vals.astype(np.float32) / float(1 << 23)
+        if bits == 32:
+            return raw.view("<i4").astype(np.float32) / float(1 << 31)
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
 
 
 def encode_wav_samples(audio: np.ndarray, bits: int, float_format: bool) -> bytes:

@@ -13,6 +13,12 @@ cumsum of the speed timeline.  The device carries no position state — the
 host timeline is authoritative, so this source is trivially
 checkpoint/resume and scrub safe.
 
+Host memory is O(window) too: the window gathers through a chunked
+incremental decoder (io/chunked.py) whose bounded LRU is the analog of the
+reference's 128 Ki-sample decode ring (streamed.rs:522-567) — arbitrarily
+long files play with constant RSS.  Passing an in-memory AudioFileBuffer
+keeps the old preloaded behavior; passing a PATH streams from disk.
+
 The window is sized for a compile-time speed cap: W = block * ratio *
 speed_cap + margin.  Scheduling a speed above the cap recompiles (the
 program validates and raises with guidance).
@@ -54,19 +60,43 @@ class StreamedFileSource(Source):
 
     def __init__(self, file: Union[str, AudioFileBuffer],
                  options: Optional[FilePlaybackOptions] = None,
-                 speed_cap: Optional[float] = None, name=None):
+                 speed_cap: Optional[float] = None, name=None,
+                 chunk_frames: int = 65536, max_chunks: int = 16):
         super().__init__(name)
-        self.buffer = (file if isinstance(file, AudioFileBuffer)
-                       else AudioFileBuffer.from_file(file))
         self.options = options or FilePlaybackOptions()
-        self.loop_range = self.options.loop_range or self.buffer.loop_range
-        self.loop_mode = self.buffer.loop_mode
+        from ..io.chunked import BufferReader, CachedReader, open_chunked
+        if isinstance(file, AudioFileBuffer):
+            # preloaded data: wrap it (no extra copies; the guard frame is
+            # dropped — gather() zero-fills outside [0, frames))
+            self.reader = CachedReader(
+                BufferReader(np.asarray(file.data)[:, :-1], file.sample_rate),
+                chunk_frames, max_chunks)
+            loop_range, loop_mode = file.loop_range, file.loop_mode
+        elif isinstance(file, CachedReader):
+            self.reader = file
+            loop_range, loop_mode = self._loops_to_range(file.loops)
+        else:
+            self.reader = open_chunked(file, chunk_frames, max_chunks)
+            loop_range, loop_mode = self._loops_to_range(self.reader.loops)
+        self.loop_range = self.options.loop_range or loop_range
+        self.loop_mode = loop_mode
         self.speed_cap = float(speed_cap or max(self.options.speed * 2.0, 2.0))
         self._seeks: list[tuple[int, float]] = []
         # runtime control messages: (time, kind, value) with kind in
         # {"loop", "repeat"} (reference: StreamedFileSourceMessage::
         # SetLoopRange / SetRepeat, src/source/file/streamed.rs:37-50)
         self._ctrl_msgs: list[tuple[int, str, object]] = []
+
+    @staticmethod
+    def _loops_to_range(loops):
+        """First smpl loop -> half-open range + mode (mirrors
+        AudioFileBuffer.from_file; reference src/source/file/decoder.rs:27-43)."""
+        from ..io import wav as wav_io
+        if not loops:
+            return None, "forward"
+        lp = loops[0]
+        mode = "pingpong" if lp.mode == wav_io.LOOP_PINGPONG else "forward"
+        return (lp.start, lp.end + 1), mode
 
     def seek(self, at_frame: int, to_source_frame: float):
         self._seeks.append((int(at_frame), float(to_source_frame)))
@@ -79,7 +109,7 @@ class StreamedFileSource(Source):
         whose next wrap check uses the new points."""
         if loop_range is not None:
             start, end = int(loop_range[0]), int(loop_range[1])
-            frames = self.buffer.frames
+            frames = self.reader.frames
             if not (0 <= start < frames and start < end <= frames):
                 raise ValueError(
                     f"Invalid loop range {loop_range!r}; must lie in "
@@ -115,7 +145,7 @@ class StreamedFileSource(Source):
     # ------------------------------------------------------------------
 
     def _window_frames(self, ctx: BuildCtx) -> int:
-        ratio = self.buffer.sample_rate / ctx.sample_rate
+        ratio = self.reader.sample_rate / ctx.sample_rate
         return int(math.ceil(ctx.block_frames * ratio * self.speed_cap)) + _MARGIN
 
     def _speed_at(self, frame: int) -> float:
@@ -148,7 +178,7 @@ class StreamedFileSource(Source):
     # ------------------------------------------------------------------
 
     def _initial_fold_state(self):
-        frames = self.buffer.frames
+        frames = self.reader.frames
         loop = self.loop_range
         rpt = self.options.repeat
         st = {"delta": 0, "loop": loop, "mode": self.loop_mode,
@@ -173,7 +203,7 @@ class StreamedFileSource(Source):
 
     def _fold_rel(self, rel, st):
         """rel (scalar or array, int) -> (source frames, live mask)."""
-        frames = self.buffer.frames
+        frames = self.reader.frames
         rel = np.asarray(rel)
         live = rel < st["live"]
         loop = st["loop"]
@@ -196,7 +226,7 @@ class StreamedFileSource(Source):
     def _apply_ctrl(self, st, cur_rpt, rel1, kind, val):
         """Re-anchor the fold state at rel coordinate ``rel1`` for a runtime
         loop/repeat change; returns (new_state, new_cur_rpt)."""
-        frames = self.buffer.frames
+        frames = self.reader.frames
         s1 = int(self._fold_rel(rel1, st)[0])
         st = dict(st)
         if kind == "repeat":
@@ -252,7 +282,7 @@ class StreamedFileSource(Source):
                 "StreamedFileSource lowered before prepare(); the node must "
                 "be part of a RenderProgram")
         ctx_sr = self._sr
-        ratio = self.buffer.sample_rate / ctx_sr
+        ratio = self.reader.sample_rate / ctx_sr
         w = self._window_frames_cached
 
         # authoritative virtual position at block start: integral of the
@@ -292,10 +322,11 @@ class StreamedFileSource(Source):
         # hermite -1 tap)
         vp = base - 1 + np.arange(w, dtype=np.int64)
         idx, live = self._fold_rel(vp + st["delta"], st)
-        data = np.asarray(self.buffer.data)  # [ch, frames+1]
-        safe = np.clip(idx, 0, data.shape[1] - 1)
-        win = np.where((live & (idx >= 0) & (idx < data.shape[1]))[None, :],
-                       data[:, safe], 0.0).astype(np.float32)
+        # chunked gather: only the touched decode chunks are resident
+        # (idx == frames used to hit the preloaded guard zero; gather()
+        # zero-fills outside [0, frames) identically)
+        win = self.reader.gather(idx)
+        win[:, ~live] = 0.0
         # end-of-stream mask in *virtual* frames relative to the window
         return {
             "_win": win,
@@ -309,7 +340,7 @@ class StreamedFileSource(Source):
         # callers pass an explicit duration.
         if self._ctrl_msgs:
             return None
-        frames = self.buffer.frames
+        frames = self.reader.frames
         rpt = self.options.repeat
         if rpt is None:
             return None
@@ -320,7 +351,7 @@ class StreamedFileSource(Source):
             span = frames * (rpt + 1)
         # conservative: integrate at the initial speed
         return self.options.start_time + int(
-            math.ceil(span / (self.buffer.sample_rate / ctx.sample_rate
+            math.ceil(span / (self.reader.sample_rate / ctx.sample_rate
                               * max(self.options.speed, 1e-6))))
 
     def init_state(self, ctx: BuildCtx):
@@ -334,7 +365,7 @@ class StreamedFileSource(Source):
         stop_at = params.get("_stop_at", jnp.int32(NEVER))
         kill_at = params.get("_kill_at", jnp.int32(NEVER))
         gframes = frame0 + jnp.arange(n, dtype=jnp.int32)
-        ratio = self.buffer.sample_rate / ctx.sample_rate
+        ratio = self.reader.sample_rate / ctx.sample_rate
 
         speed = jnp.minimum(params[SPEED.id], self.speed_cap)
         active = (gframes >= self.options.start_time) & (gframes < kill_at)
