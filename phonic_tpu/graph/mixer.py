@@ -44,10 +44,31 @@ class Mixer:
     def remove_effect(self, effect: Effect):
         self.effects.remove(effect)
 
+    def remove_source(self, source: Source):
+        """Detach a source (reference: MixerMessage::RemoveSource,
+        src/source/mixed.rs:47-194)."""
+        self.sources.remove(source)
+
     def add_mixer(self, mixer: Optional["Mixer"] = None) -> "Mixer":
         mixer = mixer or Mixer()
         self.children.append(mixer)
         return mixer
+
+    def remove_mixer(self, mixer: "Mixer"):
+        """Detach a child mixer and its whole subtree (reference:
+        MixerMessage::RemoveMixer, src/source/mixed.rs:47-194)."""
+        self.children.remove(mixer)
+
+    def find_parent_of(self, obj) -> Optional["Mixer"]:
+        """The mixer that directly owns ``obj`` (source/effect/child mixer),
+        searching the whole subtree; None if not found."""
+        if obj in self.sources or obj in self.effects or obj in self.children:
+            return self
+        for c in self.children:
+            p = c.find_parent_of(obj)
+            if p is not None:
+                return p
+        return None
 
     def walk(self, prefix: str = ""):
         """Yield (path, kind, obj) for every node in the tree, depth-first;

@@ -49,6 +49,14 @@ class PlayerConfig:
     max_events_per_block: int = 16
     metering_interval_secs: float = 0.05
     measure_cpu_load: bool = True
+    # transient-source retirement (reference: exhausted sources are dropped
+    # every block, src/source/mixed.rs:714-715 + playing-map GC,
+    # src/player.rs:1135-1176).  Here a retirement is a topology rebuild
+    # (re-trace), so exhausted sources are pruned lazily in batches: masked
+    # zeros until >= retire_after_dead_sources of them are dead, then one
+    # rebuild removes them all (adopt() carries every surviving state).
+    auto_retire_sources: bool = True
+    retire_after_dead_sources: int = 8
 
 
 @dataclasses.dataclass
@@ -216,6 +224,16 @@ class MixerHandle:
     def add_mixer(self) -> "MixerHandle":
         return self._player.add_mixer(parent=self.mixer)
 
+    def remove_source(self, source_or_handle):
+        self._player.remove_source(source_or_handle)
+
+    def remove_mixer(self, mixer_or_handle):
+        self._player.remove_mixer(mixer_or_handle)
+
+    def remove(self):
+        """Detach this mixer (and its subtree) from the graph."""
+        self._player.remove_mixer(self.mixer)
+
     def cpu_load(self) -> CpuLoad:
         return self._player.cpu_load()
 
@@ -266,6 +284,9 @@ class Player:
         self.status_handler = None
         self._live_sources: set = set()
         self._last_pos_emit: dict = {}  # path -> output frame of last Position
+        # sources with a play_* lifecycle (eligible for auto-retirement);
+        # generators added via play_generator live until removed explicitly
+        self._transient: set = set()
 
     # ------------------------------------------------------------------
     # graph building (topology edits invalidate the compiled program)
@@ -325,16 +346,108 @@ class Player:
         (mixer or self.main_mixer).remove_effect(effect)
         self._invalidate()
 
+    def remove_source(self, source_or_handle):
+        """Detach a playing source/generator from the graph (reference:
+        MixerMessage::RemoveSource, src/source/mixed.rs:47-194).  Unrelated
+        sources keep playing through the rebuild (adopt()); further handle
+        calls on the removed source raise NotFoundError, like the
+        reference's Err on a dropped source."""
+        node = getattr(source_or_handle, "_node", source_or_handle)
+        with self._control_lock:
+            self._remove_source_locked(node)
+
+    def _remove_source_locked(self, node, emit: bool = True):
+        parent = self.main_mixer.find_parent_of(node)
+        if parent is None:
+            raise NotFoundError(
+                f"source {getattr(node, 'name', node)!r} not in graph")
+        if self._program is not None:
+            try:
+                path = self._program._resolve(node)
+                self._last_pos_emit.pop(path, None)
+            except NotFoundError:
+                pass
+        parent.remove_source(node)
+        self._transient.discard(node)
+        self._pending = [(n, fn) for n, fn in self._pending if n is not node]
+        if node in self._live_sources:
+            self._live_sources.discard(node)
+            if emit and self.status_handler is not None:
+                self.status_handler(PlaybackStatusEvent(
+                    "stopped", node, exhausted=False))
+        self._invalidate()
+
+    def remove_mixer(self, mixer_or_handle):
+        """Detach a sub-mixer and its whole subtree (reference:
+        MixerMessage::RemoveMixer, src/source/mixed.rs:47-194)."""
+        mixer = getattr(mixer_or_handle, "mixer", mixer_or_handle)
+        with self._control_lock:
+            if mixer is self.main_mixer:
+                raise PhonicError("cannot remove the main mixer")
+            parent = self.main_mixer.find_parent_of(mixer)
+            if parent is None:
+                raise NotFoundError(f"mixer {mixer.name!r} not in graph")
+            # the subtree's sources die with it: emit their Stopped events
+            # and drop their bookkeeping
+            for _path, kind, obj in mixer.walk():
+                if kind != "source":
+                    continue
+                self._transient.discard(obj)
+                self._pending = [(n, fn) for n, fn in self._pending
+                                 if n is not obj]
+                if obj in self._live_sources:
+                    self._live_sources.discard(obj)
+                    if self.status_handler is not None:
+                        self.status_handler(PlaybackStatusEvent(
+                            "stopped", obj, exhausted=False))
+            removed = {id(obj) for _p, k, obj in mixer.walk() if k == "source"}
+            if self._program is not None:
+                self._last_pos_emit = {
+                    p: f for p, f in self._last_pos_emit.items()
+                    if id(self._program.nodes.get(p)) not in removed
+                }
+            parent.remove_mixer(mixer)
+            self._invalidate()
+
+    def _retire_exhausted_locked(self):
+        """Prune exhausted transient sources in batches (reference retires
+        them every block, src/source/mixed.rs:714-715; here each prune is a
+        re-trace, so dead sources render masked zeros until the batch
+        threshold, then one rebuild drops them all)."""
+        if not self.config.auto_retire_sources or not self._transient:
+            return
+        dead = []
+        for node in list(self._transient):
+            if self.main_mixer.find_parent_of(node) is None:
+                self._transient.discard(node)
+                continue
+            try:
+                if not self._is_playing(node):
+                    dead.append(node)
+            except NotFoundError:
+                self._transient.discard(node)
+        if len(dead) < max(self.config.retire_after_dead_sources, 1):
+            return
+        for node in dead:
+            self._remove_source_locked(node, emit=False)
+
     def play_file(self, file: Union[str, AudioFileBuffer],
                   options: Optional[FilePlaybackOptions] = None,
                   mixer: Optional[Mixer] = None,
                   stream: bool = False) -> PlaybackHandle:
         """``stream=True`` plays via the O(window)-memory streamed source
-        (reference: FilePlaybackOptions::streamed, src/source/file.rs:96)."""
-        buf = file if isinstance(file, AudioFileBuffer) else AudioFileBuffer.from_file(file)
+        (reference: FilePlaybackOptions::streamed, src/source/file.rs:96).
+        A path + stream=True never fully decodes: the source reads through
+        the chunked incremental decoder (io/chunked.py)."""
         from .sources.streamed import StreamedFileSource
-        src = StreamedFileSource(buf, options) if stream else FileSource(buf, options)
+        if stream:
+            src = StreamedFileSource(file, options)
+        else:
+            buf = (file if isinstance(file, AudioFileBuffer)
+                   else AudioFileBuffer.from_file(file))
+            src = FileSource(buf, options)
         (mixer or self.main_mixer).add_source(src)
+        self._transient.add(src)
         self._invalidate()
         return PlaybackHandle(self, src)
 
@@ -343,6 +456,7 @@ class Player:
                    mixer: Optional[Mixer] = None) -> PlaybackHandle:
         src = SynthSource(synth, options)
         (mixer or self.main_mixer).add_source(src)
+        self._transient.add(src)
         self._invalidate()
         return PlaybackHandle(self, src)
 
@@ -367,7 +481,7 @@ class Player:
                 self._carry = None
             else:
                 self._state = self._program.init_state()
-            for op in self._pending:
+            for _node, op in self._pending:
                 op(self._program)
             self._pending.clear()
         return self._program
@@ -380,7 +494,7 @@ class Player:
             when = self._when(at)
             if self._program is None:
                 self._pending.append(
-                    lambda p: p.set_parameter(node, pid, value, when))
+                    (node, lambda p: p.set_parameter(node, pid, value, when)))
             else:
                 self._program.set_parameter(node, pid, value, when)
 
@@ -389,7 +503,8 @@ class Player:
             when = self._when(at)
             if self._program is None:
                 self._pending.append(
-                    lambda p: p.set_parameter_normalized(node, pid, normalized, when))
+                    (node,
+                     lambda p: p.set_parameter_normalized(node, pid, normalized, when)))
             else:
                 self._program.set_parameter_normalized(node, pid, normalized, when)
 
@@ -399,7 +514,8 @@ class Player:
         with self._control_lock:
             when = self._when(at)
             if self._program is None:
-                self._pending.append(lambda p: p.remove_pending_events(None, when))
+                self._pending.append(
+                    (None, lambda p: p.remove_pending_events(None, when)))
             else:
                 self._program.remove_pending_events(None, when)
 
@@ -408,7 +524,8 @@ class Player:
             when = self._when(at)
             if self._program is None:
                 self._pending.append(
-                    lambda p: p.set_parameter_glide(node, pid, value, rate, when))
+                    (node,
+                     lambda p: p.set_parameter_glide(node, pid, value, rate, when)))
             else:
                 self._program.set_parameter_glide(node, pid, value, rate, when)
 
@@ -416,16 +533,27 @@ class Player:
         with self._control_lock:
             when = self._when(at)
             if self._program is None:
-                self._pending.append(lambda p: p.stop_source(node, when, kill=kill))
+                self._pending.append(
+                    (node, lambda p: p.stop_source(node, when, kill=kill)))
             else:
                 self._program.stop_source(node, when, kill=kill)
 
     def _is_playing(self, node) -> bool:
+        if self.main_mixer.find_parent_of(node) is None:
+            return False  # removed/retired sources report stopped
         prog = self._ensure_program()
         d = node.duration_frames(prog.ctx)
         path = prog._resolve(node)
         stop = prog.stop_frames.get(path, NEVER)
-        limit = min(x for x in (d, stop if stop != NEVER else None, NEVER)
+        kill = prog.kill_frames.get(path, NEVER)
+        if stop != NEVER:
+            # a scheduled stop plays through the source's fade-out
+            # (reference: FilePlaybackHandle::stop fades, then exhausts)
+            opts = getattr(node, "options", None)
+            fade = getattr(opts, "fade_out_secs", 0.05) if opts else 0.05
+            stop += int(fade * prog.ctx.sample_rate) + 1
+        limit = min(x for x in (d, stop if stop != NEVER else None,
+                                kill if kill != NEVER else None, NEVER)
                     if x is not None)
         return self._position < limit
 
@@ -480,7 +608,15 @@ class Player:
         if st is None:  # batched lane or not yet compiled: probe fresh state
             st = node.init_state(prog.ctx)
 
-        fn = jax.jit(lambda s, v: node.process(s, None, v, prog.ctx))
+        # cache the jitted probe per program+node: first compiles are
+        # expensive on remote TPU backends, and a probe must never stall
+        # the render pump more than once per topology
+        if not hasattr(prog, "_cpu_probe_cache"):
+            prog._cpu_probe_cache = {}
+        fn = prog._cpu_probe_cache.get(path)
+        if fn is None:
+            fn = jax.jit(lambda s, v: node.process(s, None, v, prog.ctx))
+            prog._cpu_probe_cache[path] = fn
         out = fn(st, values)
         jax.block_until_ready(out)
         block_secs = n / prog.ctx.sample_rate
@@ -544,6 +680,7 @@ class Player:
         )
         if self.status_handler is not None:
             self._emit_status(prog)
+        self._retire_exhausted_locked()
         return audio
 
     def _emit_status(self, prog):
