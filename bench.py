@@ -122,11 +122,39 @@ def config_mastering():
     return RenderProgram(m, _mk_config(131072))
 
 
+def config_player_rt():
+    """3b: the SAME 16-source graph in the shape the Player actually runs
+    live: 8192-frame blocks, per-mixer metering, auto-bypass ON, blocks
+    pulled one at a time through Player.render_block (host bookkeeping,
+    packed transfers and device sync included)."""
+    from phonic_tpu import FilePlaybackOptions, Player, PlayerConfig
+    from phonic_tpu.effects.eq5 import Eq5Effect
+    from phonic_tpu.effects.chorus import ChorusEffect
+    from phonic_tpu.effects.reverb import ReverbEffect
+    from phonic_tpu.outputs.null import NullOutput
+    rng = np.random.default_rng(0)
+    player = Player(NullOutput(48000, 2), PlayerConfig(block_frames=8192))
+    subs = [player.add_mixer() for _ in range(4)]
+    for i in range(16):
+        buf = _tone(frames=12000 + 977 * i, freq=float(rng.uniform(80, 660)))
+        player.play_file(buf, FilePlaybackOptions(
+            volume=float(rng.uniform(0.2, 0.6)),
+            panning=float(rng.uniform(-0.8, 0.8)),
+            speed=float(rng.uniform(0.5, 2.0)), repeat=None),
+            mixer=subs[i % 4].mixer)
+    for s in subs:
+        s.add_effect(Eq5Effect(gains=list(rng.uniform(-6, 6, 5))))
+        s.add_effect(ChorusEffect(rate=float(rng.uniform(0.3, 2.0))))
+    player.add_effect(ReverbEffect(room_size=0.6, wet=0.2))
+    return player
+
+
 CONFIGS = {
     # headline first: if a harness-level time budget cuts the run short,
     # the metric that matters is already recorded (results are written
     # incrementally)
     "mixer_graph_16src": config_mixer_graph,
+    "player_rt_8192": config_player_rt,
     "play_file": config_play_file,
     "sampler_64v": config_sampler_64,
     "granular_1k": config_granular_1k,
@@ -138,6 +166,18 @@ HEADLINE = "mixer_graph_16src"
 
 def bench_program(prog, min_iters=10, min_secs=1.0, lanes=1):
     import jax
+    if hasattr(prog, "render_block"):  # a live Player (realtime shape)
+        prog.render_block()  # compile + warm
+        iters = 0
+        t0 = time.perf_counter()
+        while True:
+            prog.render_block()
+            iters += 1
+            if iters >= min_iters and time.perf_counter() - t0 > min_secs:
+                break
+        dt = time.perf_counter() - t0
+        n = prog.engine_config.block_frames
+        return iters * n / prog.engine_config.sample_rate / dt
     if lanes > 1:
         from phonic_tpu.parallel.mesh import BatchedRenderProgram
         b = BatchedRenderProgram(prog, lanes=lanes)

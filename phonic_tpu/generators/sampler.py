@@ -167,6 +167,22 @@ class Sampler(Generator):
     def from_file(cls, path, **kwargs) -> "Sampler":
         return cls(AudioFileBuffer.from_file(path), **kwargs)
 
+    def source_batch_key(self, ctx):
+        """Static-config signature for cross-generator voice batching
+        (graph/batching.SamplerBatch): samplers whose keys match render as
+        ONE vmapped pool; buffer LENGTH is traced (_buf_frames) so it stays
+        out of the key.  Granular mode and subclasses render unbatched."""
+        if type(self) is not Sampler or self.granular is not None:
+            return None
+        return (
+            self.options.voices,
+            self.envelope is not None,
+            self.buffer.channels,
+            self.buffer.sample_rate,
+            self.buffer.loop_mode,
+            round(self.options.fade_out_secs, 9),
+        )
+
     def with_ahdsr(self, attack=0.01, hold=0.0, decay=0.0, sustain=1.0,
                    release=0.05) -> "Sampler":
         self.envelope = AhdsrConfig(attack, hold, decay, sustain, release)
@@ -329,10 +345,15 @@ class Sampler(Generator):
                         idx = v
                         break
                 if idx is None:
+                    # steal priority (reference sampler.rs:826-860):
+                    # a) with an envelope, the longest-releasing voice
+                    #    (earliest release start; without an envelope the
+                    #    reference never checks the release stage), then
+                    # b) the oldest active voice by playback id
                     releasing = [
                         (segs[-1].release, v) for v, segs in enumerate(voices)
                         if segs[-1].release <= t
-                    ]
+                    ] if self.envelope is not None else []
                     if releasing:
                         idx = min(releasing)[1]
                     else:
@@ -450,6 +471,10 @@ class Sampler(Generator):
             out["_loop_start"] = np.float32(0.0 if rng is None else rng[0])
             out["_loop_end"] = np.float32(
                 self.buffer.frames if rng is None else rng[1])
+            # traced buffer length: lets homogeneous samplers with
+            # different-length buffers share one vmapped trace
+            # (graph/batching.SamplerBatch)
+            out["_buf_frames"] = np.float32(self.buffer.frames)
         for vi, segs in enumerate(voices):
             cont = None
             trig = None
@@ -546,10 +571,12 @@ class Sampler(Generator):
         loop_s = params["_loop_start"]
         loop_e = params["_loop_end"]
 
+        frames_live = params.get("_buf_frames", jnp.float32(frames))
+
         def fold(pos):
             folded = rs.loop_fold(pos, loop_s, loop_e, self.buffer.loop_mode)
             p = jnp.where(loop_on, folded, pos)
-            live = loop_on | (pos < float(frames))
+            live = loop_on | (pos < frames_live)
             return p, live
 
         def lane(note, vol, pan, age, rel, mask, pos):

@@ -240,3 +240,39 @@ class FileBatch:
         if sinc_tbl is not None:
             new_state["sinc"] = sinc_tbl
         return new_state, out
+
+
+class SamplerBatch:
+    """Cross-generator voice batching: homogeneous (same batch-key) Samplers
+    render as ONE vmapped call over stacked per-sampler states + parameter
+    rows, instead of G separate voice pools (SURVEY §7.4 / round-3 TODO).
+
+    Buffers are zero-padded to the group's longest; the live-length bound
+    rides in as the traced `_buf_frames` input (sampler.py), so mixed-length
+    sample banks share one trace.  The DSP is Sampler._process_sampled
+    verbatim — tests assert equality with the unbatched path."""
+
+    def __init__(self, samplers: list, paths: list[str], ctx):
+        self.nodes = samplers
+        self.paths = paths
+        self.ctx = ctx
+        self.proto = samplers[0]
+        self.fmax = max(s.buffer.frames for s in samplers)
+
+    def init_state(self):
+        sts = []
+        for s in self.nodes:
+            st = dict(s.init_state(self.ctx))
+            buf = np.asarray(st["buf"])
+            pad = self.fmax + 1 - buf.shape[1]
+            if pad > 0:
+                buf = np.pad(buf, ((0, 0), (0, pad)))
+            st["buf"] = jnp.asarray(buf)
+            sts.append(st)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+
+    def render(self, state, pvals):
+        """state: stacked pytree; pvals: dict of [G, ...] parameter rows.
+        Returns (new_state, out [G, ch, n])."""
+        fn = lambda st, pv: self.proto.process(st, None, pv, self.ctx)
+        return jax.vmap(fn)(state, pvals)

@@ -33,7 +33,7 @@ from ..ops import smoothing
 from ..params import BooleanParameter, EnumParameter, FloatParameter, IntegerParameter
 from .mixer import Mixer
 from .nodes import BuildCtx, Node
-from .batching import FileBatch, group_key as _file_group_key
+from .batching import FileBatch, SamplerBatch, group_key as _file_group_key
 from ..sources.file import FileSource
 
 # int32-safe sentinel: single renders are limited to 2^31-1 frames (~12.4 h
@@ -220,17 +220,25 @@ class RenderProgram:
         }
 
     def _build_source_batches(self):
-        """Collect homogeneous FileSources into vmapped lane banks
+        """Collect homogeneous FileSources into vmapped lane banks, and
+        homogeneous Samplers into vmapped generator pools
         (graph/batching.py); groups of one render through the normal path."""
         self.file_batches: dict[int, FileBatch] = {}
         self._batched_row: dict[str, tuple[int, int]] = {}
+        self.gen_batches: dict[int, SamplerBatch] = {}
+        self._gen_row: dict[str, tuple[int, int]] = {}
         if not getattr(self.config, "batch_sources", True):
             return
         groups: dict[tuple, list[str]] = {}
+        ggroups: dict[tuple, list[str]] = {}
         for path in self.source_paths:
             node = self.nodes[path]
             if isinstance(node, FileSource) and type(node) is FileSource:
                 groups.setdefault(_file_group_key(node, self.ctx), []).append(path)
+                continue
+            skey = getattr(node, "source_batch_key", lambda ctx: None)(self.ctx)
+            if skey is not None:
+                ggroups.setdefault(skey, []).append(path)
         gid = 0
         for key, paths in groups.items():
             if len(paths) < 2:
@@ -239,6 +247,15 @@ class RenderProgram:
             self.file_batches[gid] = batch
             for i, p in enumerate(paths):
                 self._batched_row[p] = (gid, i)
+            gid += 1
+        gid = 0
+        for key, paths in ggroups.items():
+            if len(paths) < 2:
+                continue
+            batch = SamplerBatch([self.nodes[p] for p in paths], paths, self.ctx)
+            self.gen_batches[gid] = batch
+            for i, p in enumerate(paths):
+                self._gen_row[p] = (gid, i)
             gid += 1
 
     def _share_control_from(self, other: "RenderProgram"):
@@ -274,7 +291,7 @@ class RenderProgram:
         self._batched_mixer: dict[str, tuple[int, int]] = {}
         self._batched_effect_paths: set[str] = set()
         self._eff_loc: dict[str, tuple[int, int, int]] = {}  # path -> gid, i, lane
-        if not getattr(self.config, "batch_effects", True) or self.config.auto_bypass:
+        if not getattr(self.config, "batch_effects", True):
             return
 
         def visit(m: Mixer, prefix: str):
@@ -498,6 +515,44 @@ class RenderProgram:
                     bst["frac_lo"] = bst["frac_lo"].at[lane].set(pos[2])
             fb[gid] = bst
         new_state["file_batches"] = fb
+        # batched generator pools: per-lane voice positions transfer from
+        # wherever the sampler's state lived (stacked lane or plain node);
+        # "buf" stays fresh (constant sample data, padding may differ)
+        def _old_gen_state(path):
+            loc = getattr(old, "_gen_row", {}).get(path)
+            if loc is not None:
+                og, oi = loc
+                return jax.tree.map(lambda a: a[oi],
+                                    old_state["gen_batches"][og])
+            return old_state["nodes"].get(path)
+
+        gb = {}
+        for gid, bst in new_state["gen_batches"].items():
+            gbatch = self.gen_batches[gid]
+            bst = dict(bst)
+            for i, path in enumerate(gbatch.paths):
+                ost = _old_gen_state(path)
+                if not isinstance(ost, dict):
+                    continue
+                for k in ("base", "frac"):
+                    if (k in bst and k in ost
+                            and bst[k].shape[1:] == jnp.shape(ost[k])):
+                        bst[k] = bst[k].at[i].set(ost[k])
+            gb[gid] = bst
+        new_state["gen_batches"] = gb
+        # a sampler that used to be gen-batched and is now unbatched
+        for path in list(nodes):
+            if (path in getattr(old, "_gen_row", {})
+                    and path not in self._gen_row
+                    and isinstance(nodes[path], dict)):
+                ost = _old_gen_state(path)
+                st2 = dict(nodes[path])
+                for k in ("base", "frac"):
+                    if (k in st2 and k in ost
+                            and jnp.shape(st2[k]) == jnp.shape(ost[k])):
+                        st2[k] = ost[k]
+                nodes[path] = st2
+        new_state["nodes"] = nodes
         # smoother rows by (path, parameter): mid-ramp values continue
         sm = {}
         for key, tree in new_state["smoothers"].items():
@@ -513,6 +568,18 @@ class RenderProgram:
             sm[key] = jax.tree.map(lambda nl, ol: nl.at[ni].set(ol[oi]),
                                    tree, old_tree)
         new_state["smoothers"] = sm
+        # auto-bypass silence ages: carry per-effect ages; group ages reset
+        # to 0 (= recently active) so a rebuilt group can never freeze a
+        # still-ringing tail mid-decay
+        if "bypass" in new_state:
+            old_b = old_state.get("bypass", {})
+            nb = dict(new_state["bypass"])
+            for k in nb:
+                if k.startswith("__batch"):
+                    nb[k] = jnp.zeros_like(nb[k])
+                elif k in old_b:
+                    nb[k] = old_b[k]
+            new_state["bypass"] = nb
         return new_state
 
     def stop_source(self, source, at_frame: int = 0, kill: bool = False):
@@ -560,6 +627,7 @@ class RenderProgram:
         node_states = {
             path: node.init_state(self.ctx) for path, node in self.nodes.items()
             if path not in self._batched_effect_paths
+            and path not in self._gen_row
         }
         effect_batches = {}
         for gid, g in self.effect_batches.items():
@@ -579,6 +647,9 @@ class RenderProgram:
         file_batches = {
             gid: b.init_state() for gid, b in self.file_batches.items()
         }
+        gen_batches = {
+            gid: b.init_state() for gid, b in self.gen_batches.items()
+        }
         smoothers = {}
         for key, pps in self._param_groups.items():
             kind, arg = key
@@ -594,14 +665,23 @@ class RenderProgram:
                 smoothers[key] = v  # stepped: carry the current target
         st = {"nodes": node_states, "smoothers": smoothers,
               "file_batches": file_batches,
+              "gen_batches": gen_batches,
               "effect_batches": effect_batches}
         if self.config.auto_bypass:
             # effects start bypassed until audio arrives (reference:
-            # EffectProcessor starts in the stopped state, effect.rs:94-107)
+            # EffectProcessor starts in the stopped state, effect.rs:94-107).
+            # Batched sibling chains carry a [n_effects, lanes] age matrix so
+            # every (stage, lane) freezes/wakes exactly like the unbatched
+            # per-effect cond (run_effect_batch).
             st["bypass"] = {
                 path: jnp.int32(1 << 30)
-                for path, kind, _ in self._frozen.walk() if kind == "effect"
+                for path, kind, _ in self._frozen.walk()
+                if kind == "effect" and path not in self._batched_effect_paths
             }
+            for gid, g in self.effect_batches.items():
+                st["bypass"][f"__batch{gid}"] = jnp.full(
+                    (len(g["effects"][0]), len(g["effects"])), 1 << 30,
+                    jnp.int32)
         return st
 
     def block_inputs(self, block_index: int):
@@ -710,6 +790,39 @@ class RenderProgram:
             for i, p in enumerate(batch.paths):
                 batch_out[p] = out[i]
 
+        # batched generator pools (one vmapped Sampler group per key):
+        # parameter rows, stop/kill schedules and every lowered extra ride
+        # in stacked; lanes missing an optional extra (e.g. per-note
+        # automation knots) get identity defaults so one trace serves all
+        new_gen_batches = {}
+        for gid, gbatch in self.gen_batches.items():
+            pvals = {}
+            for p in gbatch.proto.PARAMS:
+                pvals[p.id] = jnp.stack([
+                    group_values[self._param_row[(pp, p.id)][0]]
+                    [self._param_row[(pp, p.id)][1]] for pp in gbatch.paths
+                ])
+            glanes = len(gbatch.paths)
+            pvals["_frame0"] = jnp.broadcast_to(frame0, (glanes,))
+            pvals["_stop_at"] = jnp.asarray(
+                [inputs["stops"][pp][0] for pp in gbatch.paths])
+            pvals["_kill_at"] = jnp.asarray(
+                [inputs["stops"][pp][1] for pp in gbatch.paths])
+            extra = inputs.get("extra", {})
+            dicts = [extra.get(pp, {}) for pp in gbatch.paths]
+            for k in sorted(set().union(*[set(d) for d in dicts])):
+                proto_v = jnp.asarray(next(d[k] for d in dicts if k in d))
+                if k.endswith("_t"):  # event knots: past-block = identity
+                    default = jnp.full_like(proto_v, self.ctx.block_frames)
+                else:
+                    default = jnp.zeros_like(proto_v)
+                pvals[k] = jnp.stack([
+                    jnp.asarray(d[k]) if k in d else default for d in dicts])
+            nst, outs = gbatch.render(state["gen_batches"][gid], pvals)
+            new_gen_batches[gid] = nst
+            for i, pp in enumerate(gbatch.paths):
+                batch_out[pp] = outs[i]
+
         mixer_levels = {}
         new_bypass = {}
         new_effect_batches = {}
@@ -759,11 +872,22 @@ class RenderProgram:
         def run_effect_batch(gid, x):
             """Apply a batched sibling-mixer effect chain to x [G, ch, n]:
             effect i of every lane runs as ONE vmapped call (lanes share the
-            prototype's trace; batch_key guarantees the statics match)."""
+            prototype's trace; batch_key guarantees the statics match).
+
+            With auto_bypass every (stage, lane) gets the SAME freeze/wake
+            semantics as the unbatched per-effect cond (apply_effect): a
+            silence age per (stage, lane), state frozen and input passed
+            through while bypassed — so a lane whose source hasn't started
+            yet keeps its LFO phases parked exactly like the reference's
+            stopped EffectProcessor (effect.rs:10-153).  Per-lane conds
+            under vmap would run both branches, so inside the chain the
+            freeze is a select (compute always runs); the compute SAVING
+            comes from one group-level cond that skips the whole chain when
+            every (stage, lane) is bypassed and the input is silent."""
             g = self.effect_batches[gid]
             lanes = len(g["effects"])
             extra = inputs.get("extra", {})
-            new_sts = []
+            per_i_pvals = []
             for i in range(len(g["effects"][0])):
                 e0 = g["effects"][0][i]
                 pvals = {}
@@ -782,10 +906,68 @@ class RenderProgram:
                         jnp.asarray(d[k]) if k in d else jnp.zeros_like(proto)
                         for d in dicts])
                 pvals["_frame0"] = jnp.broadcast_to(frame0, (lanes,))
-                st = state["effect_batches"][gid][i]
-                fn = lambda s_, x_, p_, _e=e0: _e.process(s_, x_, p_, self.ctx)
-                st, x = jax.vmap(fn)(st, x, pvals)
-                new_sts.append(st)
+                per_i_pvals.append(pvals)
+
+            def run_chain(sts, x_):
+                new_sts = []
+                for i in range(len(g["effects"][0])):
+                    e0 = g["effects"][0][i]
+                    fn = lambda s_, xx_, p_, _e=e0: _e.process(
+                        s_, xx_, p_, self.ctx)
+                    st, x_ = jax.vmap(fn)(sts[i], x_, per_i_pvals[i])
+                    new_sts.append(st)
+                return new_sts, x_
+
+            sts0 = state["effect_batches"][gid]
+            if self.config.auto_bypass:
+                age_key = f"__batch{gid}"
+                age0 = state["bypass"][age_key]  # [E, lanes] silence ages
+                n_ = self.ctx.block_frames
+                n_eff = len(g["effects"][0])
+                # per-(stage, lane) worst-case tail limit, matching the
+                # unbatched apply_effect's per-effect limit
+                limits = jnp.asarray([
+                    [g["effects"][lane][i].max_tail_frames(self.ctx)
+                     + 2 * self.ctx.sample_rate for lane in range(lanes)]
+                    for i in range(n_eff)], jnp.int32)
+
+                def run_chain_frozen(sts, x_):
+                    """The chain with per-(stage, lane) freeze selects:
+                    numerically identical to apply_effect's lax.cond per
+                    effect, but compute always runs (vmap-safe)."""
+                    new_sts, ages = [], []
+                    for i in range(n_eff):
+                        e0 = g["effects"][0][i]
+                        fn = lambda s_, xx_, p_, _e=e0: _e.process(
+                            s_, xx_, p_, self.ctx)
+                        in_silent = (jnp.max(jnp.abs(x_), axis=(1, 2))
+                                     <= 1e-3)  # [lanes]
+                        byp = in_silent & (age0[i] >= limits[i])
+                        st, y = jax.vmap(fn)(sts[i], x_, per_i_pvals[i])
+                        x_ = jnp.where(byp[:, None, None], x_, y)
+                        st = jax.tree.map(
+                            lambda o, nn: jnp.where(
+                                byp.reshape((lanes,) + (1,) * (nn.ndim - 1)),
+                                o, nn), sts[i], st)
+                        new_sts.append(st)
+                        ages.append(jnp.where(in_silent, age0[i] + n_, 0))
+                    return new_sts, x_, jnp.stack(ages)
+
+                # group fast path: input silent and every (stage, lane)
+                # past its limit -> all stages would pass silence through
+                # with frozen state, so skip the whole chain
+                all_parked = (jnp.max(jnp.abs(x)) <= 1e-3) & jnp.all(
+                    age0 >= limits)
+                new_sts, x, age1 = jax.lax.cond(
+                    all_parked,
+                    lambda s_, xx_: (s_, xx_, age0 + n_),
+                    run_chain_frozen,
+                    sts0, x,
+                )
+                new_bypass[age_key] = jnp.minimum(
+                    age1, 1 << 30).astype(jnp.int32)
+            else:
+                new_sts, x = run_chain(sts0, x)
             new_effect_batches[gid] = new_sts
             return x
 
@@ -816,6 +998,10 @@ class RenderProgram:
                     new_nodes[path] = state["nodes"][path]
                     acc = acc + batch_out[path]
                     continue
+                if path in self._gen_row:
+                    # state lives stacked in state["gen_batches"] only
+                    acc = acc + batch_out[path]
+                    continue
                 values = self._node_param_values(group_values, path, s)
                 values["_frame0"] = frame0
                 stop, kill = inputs["stops"][path]
@@ -839,6 +1025,7 @@ class RenderProgram:
         audio = render_mixer(self._frozen, "")
         new_state = {"nodes": new_nodes, "smoothers": new_smoothers,
                      "file_batches": new_batches,
+                     "gen_batches": new_gen_batches,
                      "effect_batches": new_effect_batches}
         if self.config.auto_bypass:
             new_state["bypass"] = new_bypass

@@ -73,3 +73,34 @@ def test_bypass_engages_only_after_worst_case_tail():
     # and the tail is actually ringing after the tone stops (the test would
     # be vacuous on silence)
     assert np.abs(outs[False][:, tone_frames + SR // 2 :]).max() > 1e-5
+
+
+def test_batched_chains_freeze_parked_lanes():
+    """Sibling-mixer chains batched under auto_bypass (round 3): a lane
+    whose source starts LATE must keep its effect state frozen while its
+    input is silent — exactly like the unbatched per-effect cond — so
+    batched and unbatched renders agree even with staggered lane starts.
+    (Regression: a group-level-only cond let the silent lane's chorus LFO
+    advance, shifting its phase by the startup delay.)"""
+    frames = SR
+    outs = {}
+    for batch in (False, True):
+        m = Mixer("main")
+        t = np.arange(SR // 2) / SR
+        for k, start in enumerate((0, 26575)):
+            sub = m.add_mixer()
+            tone = (0.4 * np.sin(2 * np.pi * 220 * (k + 1) * t)).astype(
+                np.float32)
+            buf = AudioFileBuffer.from_array(tone[None, :], SR)
+            sub.add_source(FileSource(buf, FilePlaybackOptions(
+                volume=0.5, start_time=start, fade_out_secs=0.0)))
+            sub.add_effect(ChorusEffect(rate=0.5 + k, depth=0.3, wet=0.4))
+            sub.add_effect(DelayEffect(delay_ms=80.0 + 20 * k, feedback=0.3,
+                                       wet=0.4))
+        cfg = EngineConfig(sample_rate=SR, block_frames=8192,
+                           auto_bypass=True, batch_effects=batch)
+        prog = RenderProgram(m, cfg)
+        if batch:
+            assert prog.effect_batches, "chains were not batched"
+        outs[batch] = prog.render(duration_frames=frames, mode="loop")
+    _assert_equivalent(outs[True], outs[False])
