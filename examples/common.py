@@ -36,3 +36,11 @@ def demo_buffer(sr=48000, freq=220.0, secs=1.0, decay=3.0) -> AudioFileBuffer:
     x = 0.5 * np.sin(2 * np.pi * freq * t) * np.exp(-t * decay)
     x += 0.2 * np.sin(2 * np.pi * freq * 2.01 * t) * np.exp(-t * decay * 1.5)
     return AudioFileBuffer.from_array(x.astype(np.float32)[None, :], sr)
+
+
+def default_asset(name="bass.wav", sr=48000, secs=1.0):
+    """A real-world asset when the reference checkout is mounted (the same
+    files the reference examples play), else the synthetic tone."""
+    import os
+    path = os.path.join("/root/reference/assets", name)
+    return path if os.path.exists(path) else demo_buffer(sr, secs=secs)

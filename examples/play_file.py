@@ -3,7 +3,7 @@ reference examples/play-file.rs."""
 
 import sys, os
 sys.path.insert(0, os.path.dirname(__file__))
-from common import demo_buffer, make_parser, make_player
+from common import default_asset, make_parser, make_player
 
 from phonic_tpu import FilePlaybackOptions
 from phonic_tpu.sources.streamed import StreamedFileSource
@@ -15,7 +15,7 @@ def main():
     args = p.parse_args()
     player = make_player(args)
 
-    src = args.file or demo_buffer(args.sample_rate, secs=2.0)
+    src = args.file or default_asset(sr=args.sample_rate, secs=2.0)
     h = player.play_file(src, FilePlaybackOptions(volume=0.9, speed=1.0))
     h.set_volume(0.4, at=args.sample_rate)        # dip volume at 1 s
     h.set_panning(-0.8, at=args.sample_rate // 2)  # pan left at 0.5 s
