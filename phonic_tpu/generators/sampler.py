@@ -167,9 +167,30 @@ class Sampler(Generator):
     def from_file(cls, path, **kwargs) -> "Sampler":
         return cls(AudioFileBuffer.from_file(path), **kwargs)
 
+    # state keys adopt() carries across topology rebuilds for batched lanes
+    # ("buf" stays fresh: constant sample data whose padding may change)
+    BATCH_CARRY = ("base", "frac")
+
+    @staticmethod
+    def batch_pad_states(nodes, states):
+        """LeafBatch stacking hook: zero-pad each lane's sample buffer to
+        the group's longest (the live length rides in as the traced
+        `_buf_frames` input, so mixed-length banks share one trace)."""
+        fmax = max(s.buffer.frames for s in nodes)
+        out = []
+        for st in states:
+            st = dict(st)
+            buf = np.asarray(st["buf"])
+            pad = fmax + 1 - buf.shape[1]
+            if pad > 0:
+                buf = np.pad(buf, ((0, 0), (0, pad)))
+            st["buf"] = jnp.asarray(buf)
+            out.append(st)
+        return out
+
     def source_batch_key(self, ctx):
         """Static-config signature for cross-generator voice batching
-        (graph/batching.SamplerBatch): samplers whose keys match render as
+        (graph/batching.LeafBatch): samplers whose keys match render as
         ONE vmapped pool; buffer LENGTH is traced (_buf_frames) so it stays
         out of the key.  Granular mode and subclasses render unbatched."""
         if type(self) is not Sampler or self.granular is not None:

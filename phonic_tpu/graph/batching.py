@@ -242,37 +242,47 @@ class FileBatch:
         return new_state, out
 
 
-class SamplerBatch:
-    """Cross-generator voice batching: homogeneous (same batch-key) Samplers
-    render as ONE vmapped call over stacked per-sampler states + parameter
-    rows, instead of G separate voice pools (SURVEY §7.4 / round-3 TODO).
+class LeafBatch:
+    """Cross-node leaf batching: homogeneous (same ``source_batch_key``)
+    Samplers / SynthSources / StreamedFileSources render as ONE vmapped call
+    over stacked per-node states + parameter rows, instead of G separate
+    renders (SURVEY §7.4 / round-3 TODO).
 
-    Buffers are zero-padded to the group's longest; the live-length bound
-    rides in as the traced `_buf_frames` input (sampler.py), so mixed-length
-    sample banks share one trace.  The DSP is Sampler._process_sampled
-    verbatim — tests assert equality with the unbatched path."""
+    Per-lane STATIC config that may differ inside a group (start times,
+    synth frequencies, buffer lengths) rides in as stacked traced inputs
+    declared by the node's ``source_batch_statics(ctx)``; state stacking
+    goes through the node class's optional ``batch_pad_states`` hook (the
+    Sampler zero-pads buffers to the group's longest, with the live length
+    traced as `_buf_frames`).  The DSP is the node's ``process`` verbatim —
+    tests assert equality with the unbatched path."""
 
-    def __init__(self, samplers: list, paths: list[str], ctx):
-        self.nodes = samplers
+    def __init__(self, nodes: list, paths: list[str], ctx):
+        self.nodes = nodes
         self.paths = paths
         self.ctx = ctx
-        self.proto = samplers[0]
-        self.fmax = max(s.buffer.frames for s in samplers)
+        self.proto = nodes[0]
+        rows = [getattr(n, "source_batch_statics", lambda c: {})(ctx)
+                for n in nodes]
+        self.statics = {
+            k: jnp.asarray([r[k] for r in rows]) for k in (rows[0] or {})
+        }
 
     def init_state(self):
-        sts = []
-        for s in self.nodes:
-            st = dict(s.init_state(self.ctx))
-            buf = np.asarray(st["buf"])
-            pad = self.fmax + 1 - buf.shape[1]
-            if pad > 0:
-                buf = np.pad(buf, ((0, 0), (0, pad)))
-            st["buf"] = jnp.asarray(buf)
-            sts.append(st)
+        sts = [s.init_state(self.ctx) for s in self.nodes]
+        pad = getattr(type(self.proto), "batch_pad_states", None)
+        if pad is not None:
+            sts = pad(self.nodes, sts)
+        if not jax.tree.leaves(sts[0]):
+            return sts[0]  # stateless lanes (e.g. streamed sources)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
 
     def render(self, state, pvals):
         """state: stacked pytree; pvals: dict of [G, ...] parameter rows.
         Returns (new_state, out [G, ch, n])."""
+        pvals = {**pvals, **self.statics}
         fn = lambda st, pv: self.proto.process(st, None, pv, self.ctx)
-        return jax.vmap(fn)(state, pvals)
+        axes = (None, 0) if not jax.tree.leaves(state) else (0, 0)
+        return jax.vmap(fn, in_axes=axes)(state, pvals)
+
+
+SamplerBatch = LeafBatch  # round-3 name, kept for compatibility

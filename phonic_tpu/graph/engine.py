@@ -33,7 +33,7 @@ from ..ops import smoothing
 from ..params import BooleanParameter, EnumParameter, FloatParameter, IntegerParameter
 from .mixer import Mixer
 from .nodes import BuildCtx, Node
-from .batching import FileBatch, SamplerBatch, group_key as _file_group_key
+from .batching import FileBatch, LeafBatch, group_key as _file_group_key
 from ..sources.file import FileSource
 
 # int32-safe sentinel: single renders are limited to 2^31-1 frames (~12.4 h
@@ -225,7 +225,7 @@ class RenderProgram:
         (graph/batching.py); groups of one render through the normal path."""
         self.file_batches: dict[int, FileBatch] = {}
         self._batched_row: dict[str, tuple[int, int]] = {}
-        self.gen_batches: dict[int, SamplerBatch] = {}
+        self.gen_batches: dict[int, LeafBatch] = {}
         self._gen_row: dict[str, tuple[int, int]] = {}
         if not getattr(self.config, "batch_sources", True):
             return
@@ -252,7 +252,7 @@ class RenderProgram:
         for key, paths in ggroups.items():
             if len(paths) < 2:
                 continue
-            batch = SamplerBatch([self.nodes[p] for p in paths], paths, self.ctx)
+            batch = LeafBatch([self.nodes[p] for p in paths], paths, self.ctx)
             self.gen_batches[gid] = batch
             for i, p in enumerate(paths):
                 self._gen_row[p] = (gid, i)
@@ -526,6 +526,12 @@ class RenderProgram:
                                     old_state["gen_batches"][og])
             return old_state["nodes"].get(path)
 
+        def _carry_keys(node):
+            # which top-level state keys survive a rebuild for batched lanes
+            # (Sampler: voice positions; SynthSource: the synth pytree;
+            # constant data like sample buffers stays fresh)
+            return getattr(type(node), "BATCH_CARRY", ("base", "frac"))
+
         gb = {}
         for gid, bst in new_state["gen_batches"].items():
             gbatch = self.gen_batches[gid]
@@ -534,22 +540,25 @@ class RenderProgram:
                 ost = _old_gen_state(path)
                 if not isinstance(ost, dict):
                     continue
-                for k in ("base", "frac"):
-                    if (k in bst and k in ost
-                            and bst[k].shape[1:] == jnp.shape(ost[k])):
-                        bst[k] = bst[k].at[i].set(ost[k])
+                for k in _carry_keys(self.nodes[path]):
+                    if k not in bst or k not in ost:
+                        continue
+                    proto = jax.tree.map(lambda a: a[i], bst[k])
+                    if _tree_match(proto, ost[k]):
+                        bst[k] = jax.tree.map(
+                            lambda nl, ol: nl.at[i].set(ol), bst[k], ost[k])
             gb[gid] = bst
         new_state["gen_batches"] = gb
-        # a sampler that used to be gen-batched and is now unbatched
+        # a node that used to be gen-batched and is now unbatched
         for path in list(nodes):
             if (path in getattr(old, "_gen_row", {})
                     and path not in self._gen_row
                     and isinstance(nodes[path], dict)):
                 ost = _old_gen_state(path)
                 st2 = dict(nodes[path])
-                for k in ("base", "frac"):
-                    if (k in st2 and k in ost
-                            and jnp.shape(st2[k]) == jnp.shape(ost[k])):
+                for k in _carry_keys(self.nodes[path]):
+                    if (k in st2 and isinstance(ost, dict) and k in ost
+                            and _tree_match(st2[k], ost[k])):
                         st2[k] = ost[k]
                 nodes[path] = st2
         new_state["nodes"] = nodes

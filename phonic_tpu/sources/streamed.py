@@ -359,16 +359,38 @@ class StreamedFileSource(Source):
         self._window_frames_cached = self._window_frames(ctx)
         return {}
 
+    def source_batch_key(self, ctx):
+        """Homogeneous streamed lanes (same rates/window/speed cap/fade
+        shape) render as one vmapped bank: the per-block decode windows
+        stack in the lowered extras, per-lane start times ride as traced
+        statics (graph/batching.LeafBatch)."""
+        if type(self) is not StreamedFileSource:
+            return None
+        opt = self.options
+        return (
+            "streamed",
+            self.reader.channels,
+            self.reader.sample_rate,
+            self._window_frames(ctx),
+            round(self.speed_cap, 9),
+            round(opt.fade_in_secs, 9),
+            round(opt.fade_out_secs, 9),
+        )
+
+    def source_batch_statics(self, ctx):
+        return {"_start_t0": np.int32(self.options.start_time)}
+
     def process(self, state, x, params, ctx: BuildCtx):
         n = ctx.block_frames
         frame0 = params["_frame0"]
         stop_at = params.get("_stop_at", jnp.int32(NEVER))
         kill_at = params.get("_kill_at", jnp.int32(NEVER))
+        start_t = params.get("_start_t0", jnp.int32(self.options.start_time))
         gframes = frame0 + jnp.arange(n, dtype=jnp.int32)
         ratio = self.reader.sample_rate / ctx.sample_rate
 
         speed = jnp.minimum(params[SPEED.id], self.speed_cap)
-        active = (gframes >= self.options.start_time) & (gframes < kill_at)
+        active = (gframes >= start_t) & (gframes < kill_at)
         steps = jnp.where(active, speed * np.float32(ratio), 0.0)
         s0 = steps[-1]
         resid = jnp.cumsum(steps - s0)
@@ -387,17 +409,18 @@ class StreamedFileSource(Source):
         audio = audio * mask[None, :]
         audio = remap_channels(audio, ctx.channels)
 
-        gain = params[VOLUME.id] * self._fade_gains(gframes, stop_at, ctx)
+        gain = params[VOLUME.id] * self._fade_gains(gframes, stop_at, start_t,
+                                                    ctx)
         audio = audio * gain[None, :]
         if ctx.channels >= 2:
             left, right = panning_factors(params[PANNING.id])
             audio = audio.at[0].multiply(left).at[1].multiply(right)
         return state, audio
 
-    def _fade_gains(self, gframes, stop_at, ctx: BuildCtx):
+    def _fade_gains(self, gframes, stop_at, start_t, ctx: BuildCtx):
         gain = jnp.ones(gframes.shape, jnp.float32)
         if self.options.fade_in_secs > 0.0:
-            k = (gframes - self.options.start_time + 1).astype(jnp.float32)
+            k = (gframes - start_t + 1).astype(jnp.float32)
             log1m = _host_fade_log1m(self.options.fade_in_secs, ctx.sample_rate)
             up = 1.0 - jnp.exp(log1m * jnp.maximum(k, 0.0))
             gain = gain * jnp.where(k > 0, jnp.where(up > 1.0 - 1e-4, 1.0, up), 0.0)

@@ -107,6 +107,29 @@ class SynthSource(Source):
             out[p.id] = p.default
         return out
 
+    # adopt() carries the synth's own state pytree across topology rebuilds
+    # when this source renders as a batched lane (graph/batching.LeafBatch)
+    BATCH_CARRY = ("synth",)
+
+    def source_batch_key(self, ctx):
+        """Homogeneous SynthSources (the SAME SynthDef object, so identical
+        render traces) render as one vmapped lane bank; per-lane start/
+        duration/frequency/velocity ride in as traced statics."""
+        if type(self) is not SynthSource:
+            return None
+        return ("synth", id(self.synth),
+                round(self.options.fade_out_secs, 9))
+
+    def source_batch_statics(self, ctx):
+        opt = self.options
+        return {
+            "_start_t0": np.int32(opt.start_time),
+            "_gate_dur": np.int32(NEVER if opt.duration is None
+                                  else opt.duration),
+            "_freq0": np.float32(opt.frequency),
+            "_vel0": np.float32(opt.velocity),
+        }
+
     def init_state(self, ctx: BuildCtx):
         return {"synth": self.synth.init(ctx)}
 
@@ -121,22 +144,30 @@ class SynthSource(Source):
         frame0 = params["_frame0"]
         stop_at = params.get("_stop_at", jnp.int32(NEVER))
         gframes = frame0 + jnp.arange(n, dtype=jnp.int32)
-        age = gframes - self.options.start_time
 
         opt = self.options
+        # per-lane statics arrive traced when this source renders as a
+        # batched lane (LeafBatch); the unbatched path uses the same names
+        # with compile-time constants, tracing the identical program
+        start_t = params.get("_start_t0", jnp.int32(opt.start_time))
+        dur = params.get("_gate_dur", jnp.int32(
+            NEVER if opt.duration is None else opt.duration))
+        age = gframes - start_t
+        # (start_t + dur may wrap int32 when dur is the NEVER sentinel; the
+        # where() discards that branch)
         gate_end = jnp.minimum(
-            jnp.int32(opt.start_time + opt.duration) if opt.duration is not None
-            else jnp.int32(NEVER),
+            jnp.where(dur >= NEVER, jnp.int32(NEVER), start_t + dur),
             stop_at,
         )
-        gate = ((gframes >= opt.start_time) & (gframes < gate_end)).astype(jnp.float32)
+        gate = ((gframes >= start_t) & (gframes < gate_end)).astype(jnp.float32)
 
         sctx = SynthContext(
-            freq=jnp.full((n,), jnp.float32(opt.frequency)),
+            freq=jnp.full((n,), jnp.float32(1.0))
+            * params.get("_freq0", jnp.float32(opt.frequency)),
             gate=gate,
-            velocity=jnp.float32(opt.velocity),
+            velocity=params.get("_vel0", jnp.float32(opt.velocity)),
             age=age,
-            release_age=(gate_end - opt.start_time).astype(jnp.float32),
+            release_age=(gate_end - start_t).astype(jnp.float32),
             sample_rate=ctx.sample_rate,
             block_frames=n,
             params={p.id: params[p.id] for p in self.synth.params},

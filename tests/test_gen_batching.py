@@ -100,3 +100,77 @@ def test_batch_survives_topology_rebuild():
     got = np.concatenate(out1, axis=-1)
     np.testing.assert_allclose(got, control, atol=2e-6,
                                err_msg="voice positions lost across rebuild")
+
+
+def _simple_def():
+    import jax.numpy as jnp
+    from phonic_tpu.sources.synth import SynthDef
+
+    def init(ctx):
+        return {"phase": jnp.zeros((), jnp.float32)}
+
+    def render(state, sctx):
+        # stateful phase accumulator: batching must carry it per lane
+        steps = sctx.freq / sctx.sample_rate
+        ph = state["phase"] + jnp.cumsum(steps)
+        audio = jnp.sin(2 * np.pi * ph) * sctx.gate * sctx.velocity
+        return {"phase": ph[-1] % 1.0}, audio
+
+    return SynthDef(init=init, render=render, channels=1)
+
+
+def test_synth_sources_batch_and_match():
+    """Homogeneous SynthSources (same SynthDef) render as one vmapped bank;
+    per-lane frequency/start/duration ride as traced statics."""
+    from phonic_tpu.sources.synth import SynthPlaybackOptions, SynthSource
+
+    sd = _simple_def()
+
+    def build():
+        m = Mixer("main")
+        for k, (freq, start, dur) in enumerate(
+                [(220.0, 0, 20000), (330.0, 5000, 12000), (441.0, 9000, None)]):
+            m.add_source(SynthSource(sd, SynthPlaybackOptions(
+                frequency=freq, start_time=start, duration=dur,
+                volume=0.4, panning=0.3 * (k - 1))))
+        return m
+
+    outs = {}
+    for batch in (False, True):
+        prog = RenderProgram(build(), EngineConfig(batch_sources=batch, **CFG))
+        if batch:
+            assert len(prog.gen_batches) == 1
+            assert len(prog.gen_batches[0].paths) == 3
+        outs[batch] = prog.render(duration_frames=16 * 2048)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-6,
+                               err_msg="synth batch diverged from scalar path")
+
+
+def test_streamed_sources_batch_and_match():
+    """Homogeneous StreamedFileSources batch: the per-block decode windows
+    stack in the lowered extras, start times ride as traced statics."""
+    from phonic_tpu import FilePlaybackOptions
+    from phonic_tpu.sources.streamed import StreamedFileSource
+
+    def build():
+        m = Mixer("main")
+        for k, (frames, freq, start) in enumerate(
+                [(30000, 220.0, 0), (41000, 300.0, 4000), (23017, 390.0, 9000)]):
+            src = StreamedFileSource(
+                tone_buffer(frames, freq),
+                FilePlaybackOptions(volume=0.5, panning=0.2 * (k - 1),
+                                    speed=0.8 + 0.2 * k, start_time=start,
+                                    repeat=0),
+                speed_cap=2.0)
+            m.add_source(src)
+        return m
+
+    outs = {}
+    for batch in (False, True):
+        prog = RenderProgram(build(), EngineConfig(batch_sources=batch, **CFG))
+        if batch:
+            assert len(prog.gen_batches) == 1
+            assert len(prog.gen_batches[0].paths) == 3
+        outs[batch] = prog.render(duration_frames=16 * 2048)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-6,
+                               err_msg="streamed batch diverged from scalar path")
