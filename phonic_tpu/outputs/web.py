@@ -33,7 +33,88 @@ _PAGE = """<!doctype html>
 <h3>phonic_tpu — live render stream</h3>
 <audio controls autoplay src="/stream.wav"></audio>
 <p>{rate} Hz, {channels} ch, float32 WAV stream</p>
+<p><a href="/webaudio">WebAudio (AudioWorklet) client</a></p>
 </body></html>"""
+
+# True WebAudio client (reference: src/output/web.rs:52-115 pulls rendered
+# samples into a ScriptProcessorNode and suspends/resumes on user gesture).
+# The TPU-native inversion keeps the DSP server-side; the browser runs an
+# AudioWorkletProcessor fed from a fetch-stream of raw float32 frames, with
+# ~2 s of client-side buffering as the pull pacing (reading pauses when
+# ahead, which backs up the bounded server queue and paces the render pump
+# exactly like the reference's pull callback).
+_WEBAUDIO_PAGE = """<!doctype html>
+<html><head><title>phonic_tpu webaudio</title></head><body>
+<h3>phonic_tpu — WebAudio client</h3>
+<button id="btn">start</button> <span id="st">suspended</span>
+<script>
+const RATE = {rate}, CH = {channels};
+const WORKLET = `
+class PhonicFeeder extends AudioWorkletProcessor {{
+  constructor() {{
+    super();
+    this.chunks = [];       // Float32Array interleaved chunks
+    this.off = 0;
+    this.port.onmessage = (e) => this.chunks.push(e.data);
+  }}
+  process(inputs, outputs) {{
+    const out = outputs[0];
+    const n = out[0].length, ch = out.length;
+    for (let i = 0; i < n; i++) {{
+      if (!this.chunks.length) {{
+        for (let c = 0; c < ch; c++) out[c][i] = 0;   // underrun: silence
+        continue;
+      }}
+      const cur = this.chunks[0];
+      for (let c = 0; c < ch; c++) out[c][i] = cur[this.off + c] || 0;
+      this.off += ch;
+      if (this.off >= cur.length) {{ this.chunks.shift(); this.off = 0; }}
+    }}
+    return true;
+  }}
+}}
+registerProcessor('phonic-feeder', PhonicFeeder);
+`;
+let ctx = null, sentFrames = 0;
+async function start() {{
+  if (ctx) {{  // toggle suspend/resume on gesture (web.rs:52-115)
+    if (ctx.state === 'running') {{ await ctx.suspend(); }}
+    else {{ await ctx.resume(); }}
+    document.getElementById('st').textContent = ctx.state;
+    return;
+  }}
+  ctx = new AudioContext({{sampleRate: RATE}});
+  const url = URL.createObjectURL(
+      new Blob([WORKLET], {{type: 'application/javascript'}}));
+  await ctx.audioWorklet.addModule(url);
+  const node = new AudioWorkletNode(ctx, 'phonic-feeder',
+      {{outputChannelCount: [CH], numberOfInputs: 0}});
+  node.connect(ctx.destination);
+  document.getElementById('st').textContent = ctx.state;
+  const resp = await fetch('/stream.f32');
+  const reader = resp.body.getReader();
+  let carry = new Uint8Array(0);
+  while (true) {{
+    // pull pacing: stay <= ~2 s ahead of the playhead; while we wait, the
+    // server's bounded queue fills and the render pump blocks
+    while (sentFrames - ctx.currentTime * RATE > 2 * RATE) {{
+      await new Promise(r => setTimeout(r, 100));
+    }}
+    const {{value, done}} = await reader.read();
+    if (done) break;
+    let buf = new Uint8Array(carry.length + value.length);
+    buf.set(carry); buf.set(value, carry.length);
+    const usable = buf.length - (buf.length % (4 * CH));
+    if (usable) {{
+      const f = new Float32Array(buf.buffer.slice(0, usable));
+      node.port.postMessage(f, [f.buffer]);
+      sentFrames += f.length / CH;
+    }}
+    carry = buf.slice(usable);
+  }}
+}}
+document.getElementById('btn').addEventListener('click', start);
+</script></body></html>"""
 
 
 def _wav_stream_header(rate: int, channels: int) -> bytes:
@@ -77,15 +158,31 @@ class WebOutput(OutputDevice):
                     self.end_headers()
                     self.wfile.write(body)
                     return
-                if self.path != "/stream.wav":
+                if self.path == "/webaudio":
+                    body = _WEBAUDIO_PAGE.format(
+                        rate=out._rate, channels=out._channels).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if self.path not in ("/stream.wav", "/stream.f32"):
                     self.send_response(404)
                     self.end_headers()
                     return
                 self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
-                self.send_header("Cache-Control", "no-store")
-                self.end_headers()
-                self.wfile.write(_wav_stream_header(out._rate, out._channels))
+                if self.path == "/stream.wav":
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    self.wfile.write(
+                        _wav_stream_header(out._rate, out._channels))
+                else:  # raw interleaved float32 frames for the worklet
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
                 with out._lock:
                     out._clients += 1
                 try:

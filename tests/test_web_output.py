@@ -67,3 +67,36 @@ def test_web_output_index_page_and_live_drop():
         assert out.client_count == 0
     finally:
         out.close()
+
+
+def test_webaudio_page_and_raw_stream():
+    """/webaudio serves the AudioWorklet client; /stream.f32 delivers the
+    written blocks as raw interleaved float32 (web.rs:52-115 analog)."""
+    import urllib.request
+
+    from phonic_tpu.outputs.web import WebOutput
+
+    out = WebOutput(sample_rate=8000, channels=2, queue_blocks=4)
+    try:
+        page = urllib.request.urlopen(out.url + "webaudio", timeout=5).read()
+        assert b"AudioWorkletProcessor" in page
+        assert b"registerProcessor('phonic-feeder'" in page
+        assert b"8000" in page
+
+        block = np.stack([np.linspace(-1, 1, 256, dtype=np.float32),
+                          np.linspace(1, -1, 256, dtype=np.float32)])
+        import threading
+
+        def writer():
+            for _ in range(4):
+                out.write(block)
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        req = urllib.request.urlopen(out.url + "stream.f32", timeout=5)
+        raw = req.read(256 * 2 * 4)
+        got = np.frombuffer(raw, np.float32).reshape(-1, 2).T
+        np.testing.assert_array_equal(got, block)
+        t.join(timeout=5)
+    finally:
+        out.close()
