@@ -494,7 +494,7 @@ class Sampler(Generator):
                 self.buffer.frames if rng is None else rng[1])
             # traced buffer length: lets homogeneous samplers with
             # different-length buffers share one vmapped trace
-            # (graph/batching.SamplerBatch)
+            # (graph/batching.LeafBatch)
             out["_buf_frames"] = np.float32(self.buffer.frames)
         for vi, segs in enumerate(voices):
             cont = None

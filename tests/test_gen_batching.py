@@ -1,5 +1,5 @@
 """Cross-generator voice batching: homogeneous Samplers render as ONE
-vmapped pool (graph/batching.SamplerBatch) and must match the unbatched
+vmapped pool (graph/batching.LeafBatch) and must match the unbatched
 path exactly, including across topology rebuilds (adopt)."""
 
 import numpy as np
