@@ -102,7 +102,12 @@ class ReverbEffect(Effect):
     def init_state(self, ctx: BuildCtx):
         rng = np.random.default_rng(self.seed)
         dt = ctx.scan_dtype
-        vib_phase = rng.uniform(0.0, 2.0 * math.pi, size=(8, 2)).astype(np.float32)
+        # phases carry in scan_dtype: in strict (float64) mode the vibrato
+        # trajectory is then block-size-invariant to round-off — per-block
+        # f32 phase accumulation was the dominant cross-block-size seam
+        # (the recirculating FDN amplifies 1e-7 phase deltas to ~-70 dB)
+        vib_phase = rng.uniform(0.0, 2.0 * math.pi, size=(8, 2)).astype(
+            np.float32).astype(dt)
         return {
             # the predelay ring must hold a full block plus the max predelay
             "pre": ring_ops.ring_init(2, _PRE_MAX + ctx.block_frames, dtype=dt),
@@ -231,7 +236,8 @@ class ReverbEffect(Effect):
 
         # ---- 8-line vibrato FDN: one sub-block scan over all lines ---------
         periods = (line_delay + 1)[:, None]  # [8, 1]
-        vib_inc = jnp.asarray(_VIB_DEPTHS * VIB_SPEED, jnp.float32)  # [8]
+        dt_s = ctx.scan_dtype
+        vib_inc = jnp.asarray(_VIB_DEPTHS * VIB_SPEED, dt_s)  # [8]
         blend_b = blend
         regen_b = regen
 
@@ -243,7 +249,7 @@ class ReverbEffect(Effect):
             j = jnp.arange(b_fdn, dtype=jnp.int32)
             counts = jnp.mod(count0[:, None] + j[None, :], periods)  # [8, B]
             vib = vib_base[:, :, None] + vib_inc[:, None, None] * (
-                jnp.float32(t0) + j[None, None, :].astype(jnp.float32)
+                t0.astype(dt_s) + j[None, None, :].astype(dt_s)
             )  # [8, 2, B] -- absolute phase offset from the block start
 
             # reads happen after step(): position = count+1, vibrato phase
@@ -292,8 +298,8 @@ class ReverbEffect(Effect):
         # the representable step after about an hour of playback)
         vib_phase = jnp.mod(
             state["vib_phase"]
-            + jnp.asarray(_VIB_DEPTHS * VIB_SPEED, jnp.float32)[:, None] * n,
-            jnp.float32(2.0 * math.pi),
+            + jnp.asarray(_VIB_DEPTHS * VIB_SPEED, dt_s)[:, None] * n,
+            jnp.asarray(2.0 * math.pi, dt_s),
         )
 
         # ---- output chain: biquad B -> clamp -> asin -> biquad C -> + dry --
