@@ -40,6 +40,7 @@ class NullOutput(OutputDevice):
         return min(self._pos, played)
 
     def write(self, block) -> None:
+        block = self._apply_volume(block)
         n = np.asarray(block).shape[-1]
         if self._realtime:
             if self._t0 is None:

@@ -129,6 +129,7 @@ class RtOutput(OutputDevice):
         return int(self._lib.ph_ring_space(self._handle))
 
     def write(self, block) -> None:
+        block = self._apply_volume(block)
         # planar [ch, n] -> interleaved contiguous f32
         inter = np.ascontiguousarray(np.asarray(block, np.float32).T).reshape(-1)
         ptr = inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float))

@@ -53,7 +53,7 @@ class WavOutput(OutputDevice):
     def write(self, block) -> None:
         if self._closed:
             raise RuntimeError("WavOutput already closed")
-        block = np.asarray(block, np.float32)
+        block = np.asarray(self._apply_volume(block), np.float32)
         self._ensure_open()
         payload = encode_wav_samples(block, self._bits, self._float)
         self._file.write(payload)

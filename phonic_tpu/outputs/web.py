@@ -232,7 +232,7 @@ class WebOutput(OutputDevice):
     def write(self, block) -> None:
         if self._closed.is_set():
             return
-        block = np.asarray(block, np.float32)
+        block = np.asarray(self._apply_volume(block), np.float32)
         inter = np.ascontiguousarray(block.T).tobytes()  # interleave
         while self._paused.is_set() and not self._closed.is_set():
             self._paused.wait(0.1)
