@@ -8,6 +8,11 @@ frame headers with UTF-8 coded numbers, constant / verbatim / fixed /
 LPC subframes, 4- and 5-bit Rice partitions with escape codes, wasted
 bits, and left/right/mid-side stereo decorrelation.
 
+The per-frame hot loop dispatches to the native decoder
+(native/flacdec.cpp, ~100x the Python loop) when the library builds; the
+Python implementation below is the readable spec and the fallback, and
+the suite asserts both paths decode identically.
+
 The encoder half exists so the test-suite can round-trip every decoder
 path without shipping binary fixtures; it is deliberately minimal (16-bit,
 one Rice partition order) but emits spec-conformant streams with correct
@@ -16,11 +21,66 @@ CRC-8/CRC-16.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
 from pathlib import Path
 
 import numpy as np
 
 from ..errors import MediaFileError
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_IO_LIB = os.path.abspath(os.path.join(_NATIVE_DIR, "libphonic_io.so"))
+
+
+@lru_cache(maxsize=1)
+def _native_lib():
+    """ctypes handle to native/flacdec.cpp (built on demand), or None."""
+    if not os.path.exists(_IO_LIB):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR),
+                            "libphonic_io.so"],
+                           check=True, capture_output=True, timeout=60)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_IO_LIB)
+    except OSError:
+        return None
+    lib.ph_flac_frame.restype = ctypes.c_int
+    lib.ph_flac_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_uint32,
+    ]
+    return lib
+
+
+_MAX_FRAME = 65536
+
+
+def _decode_frame_native(lib, br: "_BitReader", channels: int, bps: int):
+    """Native per-frame decode sharing the Python reader's cursor."""
+    view = getattr(br, "_np_view", None)
+    if view is None:
+        view = np.frombuffer(br.d, np.uint8)
+        br._np_view = view
+        br._scratch = np.empty((channels, _MAX_FRAME), np.int32)
+    out = br._scratch
+    off = ctypes.c_uint64(br.pos >> 3)
+    rc = lib.ph_flac_frame(
+        ctypes.c_void_p(view.ctypes.data), ctypes.c_uint64(view.shape[0]),
+        ctypes.byref(off), channels, bps,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _MAX_FRAME)
+    if rc < 0:
+        raise MediaFileError("native FLAC frame decode failed")
+    if rc == 0:
+        br.pos = len(br.d) * 8  # clean EOF: park the cursor
+        return None
+    br.pos = off.value * 8
+    return [out[c, :rc].astype(np.int64) for c in range(channels)]
 
 _FIXED_COEFFS = {
     0: [],
@@ -225,6 +285,8 @@ def read_flac(path):
     decoded = 0
     while (total == 0 or decoded < total) and not br.eof():
         subs = _decode_frame(br, channels, bps)
+        if subs is None:  # clean end of stream (native path)
+            break
         for ci in range(channels):
             chans[ci].append(subs[ci])
         decoded += subs[0].shape[0]
@@ -235,9 +297,18 @@ def read_flac(path):
     return (audio.astype(np.float32) / float(1 << (bps - 1))), sr
 
 
-def _decode_frame(br: _BitReader, channels: int, bps: int) -> list:
+def _decode_frame(br: _BitReader, channels: int, bps: int):
     """Decode one FLAC frame at the reader's position; returns the per-
-    channel int64 sample arrays (length = the frame's blocksize)."""
+    channel int64 sample arrays (length = the frame's blocksize), or None
+    on clean end-of-stream.  Dispatches to native/flacdec.cpp when built
+    (frames are byte-aligned, so the cursor round-trips exactly)."""
+    lib = _native_lib()
+    if lib is not None and (br.pos & 7) == 0 and channels <= 8:
+        return _decode_frame_native(lib, br, channels, bps)
+    return _decode_frame_py(br, channels, bps)
+
+
+def _decode_frame_py(br: _BitReader, channels: int, bps: int):
     sync = br.bits(14)
     if sync != 0x3FFE:
         raise MediaFileError(f"lost frame sync (0x{sync:04x})")
@@ -366,6 +437,8 @@ class FlacStream:
         while self._decoded < lo + n and self._decoded < self.total_frames \
                 and not self._br.eof():
             subs = _decode_frame(self._br, self.channels, self._bps)
+            if subs is None:  # clean end of stream (native path)
+                break
             arr = (np.stack(subs).astype(np.float32) * scale)
             fstart = self._decoded
             self._decoded += arr.shape[1]
@@ -374,6 +447,8 @@ class FlacStream:
         return out
 
     def close(self):
+        self._br = None  # drop the native decoder's numpy view of the mmap
+        self._pending = None
         if hasattr(self._mm, "close"):
             self._mm.close()
         self._f.close()

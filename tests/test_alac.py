@@ -88,3 +88,24 @@ def test_through_file_source(tmp_path):
     np.testing.assert_allclose(
         out[:, :8192], np.round(np.clip(x[:, :8192], -1, 1) * 32767.0) / 32768.0,
         atol=2e-4)
+
+
+def test_native_decoder_matches_python():
+    """native ph_alac_packet must decode bit-identically to the Python
+    spec, over every encoder mode the fixture encoder emits."""
+    import unittest.mock as um
+
+    from phonic_tpu.io import alac as alac_mod
+
+    if alac_mod._native_alac() is None:
+        pytest.skip("native IO lib unavailable on this host")
+    rng = np.random.default_rng(3)
+    x = np.cumsum(rng.integers(-400, 400, size=(2, 30011)), axis=1)
+    x = (x / np.abs(x).max() * 0.7).astype(np.float32)
+    path = "/tmp/alac_native_eq.m4a"
+    write_alac(path, x, 48000)
+    a, ra = alac_mod.read_alac(path)
+    with um.patch.object(alac_mod, "_native_alac", lambda: None):
+        b, rb = alac_mod.read_alac(path)
+    assert ra == rb
+    np.testing.assert_array_equal(a, b)

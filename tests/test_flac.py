@@ -86,3 +86,33 @@ def test_corrupt_flac_raises(tmp_path):
     p.write_bytes(bytes(raw))
     with pytest.raises(MediaFileError):
         read_flac(p)
+
+
+def test_native_decoder_matches_python():
+    """native/flacdec.cpp must decode bit-identically to the Python spec
+    (both full-file and the streaming cursor), or be absent (fallback)."""
+    import unittest.mock as um
+
+    from phonic_tpu.io import flac as flac_mod
+
+    if flac_mod._native_lib() is None:
+        pytest.skip("native IO lib unavailable on this host")
+    rng = np.random.default_rng(11)
+    x = np.cumsum(rng.integers(-300, 300, size=(2, 50000)), axis=1)
+    x = (x / np.abs(x).max() * 0.8).astype(np.float32)
+    path = "/tmp/flac_native_eq.flac"
+    write_flac(path, x, 44100)
+    a, ra = flac_mod.read_flac(path)
+    with um.patch.object(flac_mod, "_native_lib", lambda: None):
+        b, rb = flac_mod.read_flac(path)
+    assert ra == rb
+    np.testing.assert_array_equal(a, b)
+
+    s = flac_mod.FlacStream(path)
+    got = s.read_at(12345, 4096)
+    s.close()
+    with um.patch.object(flac_mod, "_native_lib", lambda: None):
+        s2 = flac_mod.FlacStream(path)
+        want = s2.read_at(12345, 4096)
+        s2.close()
+    np.testing.assert_array_equal(got, want)
