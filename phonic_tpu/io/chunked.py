@@ -280,7 +280,7 @@ class FlacChunkedReader(ChunkedReader):
     def _read_valid(self, lo, n):
         with self._lock:
             if lo < self._stream.position_of_pending():
-                self._stream.restart()
+                self._stream.seek_back(lo)
             return self._stream.read_at(lo, n)
 
     def close(self):

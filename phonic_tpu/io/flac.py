@@ -416,6 +416,25 @@ class FlacStream:
         self._br.pos = self._audio_bit0
         self._decoded = 0  # stream frame index of the NEXT undecoded frame
         self._pending = None  # (start_frame, float32 [ch, blocksize])
+        # sparse seek index discovered during forward decode:
+        # (stream frame, bit cursor) every _INDEX_EVERY frames — backward
+        # jumps rewind to the nearest indexed frame instead of byte 0
+        # (the analog of symphonia's seek table, decoder.rs seek path)
+        if not hasattr(self, "_seek_index"):
+            self._seek_index = [(0, self._audio_bit0)]
+
+    def seek_back(self, target: int):
+        """Reposition the cursor at the best indexed frame <= target."""
+        best = self._seek_index[0]
+        for ent in self._seek_index:
+            if ent[0] <= target and ent[0] >= best[0]:
+                best = ent
+        self._br = _BitReader(self._mm)
+        self._br.pos = best[1]
+        self._decoded = best[0]
+        self._pending = None
+
+    _INDEX_EVERY = 1 << 18  # ~5.5 s at 48 kHz between index points
 
     def position_of_pending(self) -> int:
         """Earliest stream position still readable without a restart."""
@@ -436,6 +455,10 @@ class FlacStream:
             blit(*self._pending)
         while self._decoded < lo + n and self._decoded < self.total_frames \
                 and not self._br.eof():
+            if (self._br.pos & 7) == 0 and self._decoded > 0 \
+                    and self._decoded // self._INDEX_EVERY > \
+                        self._seek_index[-1][0] // self._INDEX_EVERY:
+                self._seek_index.append((self._decoded, self._br.pos))
             subs = _decode_frame(self._br, self.channels, self._bps)
             if subs is None:  # clean end of stream (native path)
                 break

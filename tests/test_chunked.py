@@ -208,3 +208,27 @@ def test_streamed_long_file_bounded_memory(tmp_path):
     assert np.max(np.abs(out)) > 0.1
     assert src.reader.resident_frames <= 65536 * 8
     assert src.reader.decoded_chunk_fetches <= 32
+
+
+def test_flac_seek_index_backward_jump():
+    """Backward jumps rewind to the sparse seek index discovered during
+    forward decode, not to byte 0 — and decode identically to a fresh
+    cursor (symphonia seek-table analog)."""
+    from phonic_tpu.io.flac import FlacStream, write_flac
+
+    rng = np.random.default_rng(17)
+    x = np.cumsum(rng.integers(-200, 200, size=(1, 400000)), axis=1)
+    x = (x / np.abs(x).max() * 0.8).astype(np.float32)
+    path = "/tmp/chunked_seekidx.flac"
+    write_flac(path, x, 48000)
+    s = FlacStream(path)
+    s.read_at(390000, 2048)  # forward pass builds the index
+    assert len(s._seek_index) >= 2
+    s.seek_back(270000)
+    assert s._decoded >= 262144  # landed on an index point, not byte 0
+    got = s.read_at(270000, 2048)
+    fresh = FlacStream(path)
+    want = fresh.read_at(270000, 2048)
+    np.testing.assert_array_equal(got, want)
+    s.close()
+    fresh.close()
