@@ -650,11 +650,22 @@ class Player:
             return self._render_block_locked()
 
     def _render_block_locked(self) -> np.ndarray:
+        return self._finish_block_locked(self._dispatch_block_locked())
+
+    def _dispatch_block_locked(self):
+        """Lower + dispatch one block WITHOUT waiting for the device (JAX
+        dispatch is async): the pump overlaps block k+1's host lowering and
+        device compute with materializing block k (see run/run_async)."""
         prog = self._ensure_program()
         t0 = time.perf_counter()
         block_index = self._position // prog.ctx.block_frames
         self._state, out = prog.step_packed(
             self._state, prog.packed_block_inputs(block_index))
+        self._position += prog.ctx.block_frames
+        return (prog, out, t0, self._position)
+
+    def _finish_block_locked(self, pending) -> np.ndarray:
+        prog, out, t0, _pos_after = pending
         audio, mixer_levels = out
         self._mixer_levels = {
             path: AudioLevel(np.asarray(pk), np.asarray(rm))
@@ -668,7 +679,6 @@ class Player:
                 if self.panic_handler is not None:
                     self.panic_handler("non-finite samples in master output")
         dt = time.perf_counter() - t0
-        self._position += prog.ctx.block_frames
 
         if self.config.measure_cpu_load:
             load = dt / (prog.ctx.block_frames / prog.ctx.sample_rate)
@@ -723,13 +733,24 @@ class Player:
                     "graph has endless sources; pass duration_frames or use run_async"
                 )
         end = self._position + duration_frames
-        while self._position < end:
-            audio = self.render_block()
-            excess = self._position - end
+        # depth-1 pipeline: block k+1 is lowered and dispatched (async)
+        # before block k is materialized, so host lowering and the
+        # device render overlap (SURVEY §7: pipelined dispatch)
+        with self._control_lock:
+            pending = self._dispatch_block_locked()
+        while pending is not None:
+            nxt = None
+            if self._position < end:
+                with self._control_lock:
+                    nxt = self._dispatch_block_locked()
+            with self._control_lock:
+                audio = self._finish_block_locked(pending)
+            excess = pending[3] - end
             if excess > 0:
                 audio = audio[:, : audio.shape[1] - excess]
                 self._position = end
             self.output.write(audio)
+            pending = nxt
 
     def run_async(self) -> threading.Thread:
         """Start a background pump (realtime devices pace it via their
@@ -737,8 +758,21 @@ class Player:
         self._pump_stop.clear()
 
         def pump():
+            pending = None
             while not self._pump_stop.is_set():
-                self.output.write(self.render_block())
+                with self._control_lock:
+                    nxt = self._dispatch_block_locked()
+                if pending is not None:
+                    with self._control_lock:
+                        audio = self._finish_block_locked(pending)
+                    self.output.write(audio)
+                pending = nxt
+            if pending is not None:
+                # drain: the last dispatched block was already rendered —
+                # write it so stop() never drops audio vs the unpipelined pump
+                with self._control_lock:
+                    audio = self._finish_block_locked(pending)
+                self.output.write(audio)
 
         self._pump_thread = threading.Thread(target=pump, daemon=True,
                                              name="phonic_render_pump")
