@@ -168,15 +168,17 @@ def bench_program(prog, min_iters=10, min_secs=1.0, lanes=1):
     import jax
     if hasattr(prog, "render_block"):  # a live Player (realtime shape)
         prog.render_block()  # compile + warm
+        n = prog.engine_config.block_frames
+        # drive the production pump loop itself (Player.run): depth-1
+        # pipelined dispatch, per-block host bookkeeping, output.write
         iters = 0
         t0 = time.perf_counter()
         while True:
-            prog.render_block()
-            iters += 1
+            prog.run(duration_frames=8 * n)
+            iters += 8
             if iters >= min_iters and time.perf_counter() - t0 > min_secs:
                 break
         dt = time.perf_counter() - t0
-        n = prog.engine_config.block_frames
         return iters * n / prog.engine_config.sample_rate / dt
     if lanes > 1:
         from phonic_tpu.parallel.mesh import BatchedRenderProgram
