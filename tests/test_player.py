@@ -251,3 +251,50 @@ def test_topology_edit_bit_exact_mid_ramp():
         return np.concatenate(blocks, axis=-1)
 
     np.testing.assert_array_equal(run(False), run(True))
+
+
+def test_pipelined_run_matches_serial_render(tmp_path):
+    """run()'s depth-1 pipelined pump is bit-identical to serial
+    render_block pulls, and drains the final dispatched block on stop."""
+    def mk(output):
+        player = Player(output, PlayerConfig(block_frames=4096))
+        h = player.play_file(tone_buffer(), FilePlaybackOptions(
+            volume=0.7, panning=0.3, speed=1.21))
+        h.set_volume(0.4, at=9000)
+        return player
+
+    # serial: pull blocks one at a time
+    serial = mk(NullOutput(SR, 2))
+    blocks = [serial.render_block() for _ in range(5)]
+    want = np.concatenate(blocks, axis=-1)[:, :18000]
+
+    # pipelined: the production run() loop into a wav
+    out_path = tmp_path / "pipelined.wav"
+    out = WavOutput(out_path, SR, 2)
+    piped = mk(out)
+    piped.run(duration_frames=18000)
+    out.close()
+    got, _ = read_wav(out_path)
+
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_run_async_stop_drains_pending_block(tmp_path):
+    """A quickly-stopped async pump still writes the block it dispatched
+    (no audio drop at stop)."""
+    out_path = tmp_path / "async.wav"
+    out = WavOutput(out_path, SR, 2)
+    player = Player(out, PlayerConfig(block_frames=4096))
+    player.play_file(tone_buffer())
+    out.write(player.render_block())  # compile + warm before pacing the pump
+    t = player.run_async()
+    import time as _time
+    _time.sleep(0.3)
+    player.stop()
+    t.join(timeout=15)
+    assert not t.is_alive()
+    out.close()
+    data, _ = read_wav(out_path)
+    assert data.shape[-1] >= 4096
+    assert np.isfinite(data).all() and np.abs(data).max() > 0
