@@ -135,6 +135,8 @@ class BatchedRenderProgram:
         else:
             step = vstep
 
+        self._raw_step = step
+        self._scan_jit = None
         if mesh is not None:
             lane_sharding = NamedSharding(mesh, P("data"))
             replicated = NamedSharding(mesh, P())
@@ -186,3 +188,60 @@ class BatchedRenderProgram:
             outs.append(audio)
         audio = jnp.concatenate(outs, axis=-1)[..., :duration_frames]
         return np.asarray(audio)
+
+    # -- scan-over-blocks: one dispatch renders many blocks on every lane --
+
+    def stacked_inputs(self, num_blocks: int, start_block: int = 0):
+        """[num_blocks, lanes, ...] inputs (identical automation per lane)."""
+        per_block = []
+        for b in range(start_block, start_block + num_blocks):
+            if self._packed_inputs:
+                one = self._step_program.packed_block_inputs(b)
+            else:
+                one = self._step_program.block_inputs(b)
+            per_block.append(jax.tree.map(
+                lambda x: np.broadcast_to(np.asarray(x),
+                                          (self.lanes,) + np.shape(x)), one))
+        stacked = jax.tree.map(
+            lambda *xs: np.ascontiguousarray(np.stack(xs)), *per_block)
+        if self._lane_sharding is not None:
+            stacked = jax.device_put(
+                stacked, NamedSharding(self.mesh, P(None, "data")))
+        return stacked
+
+    @property
+    def scan_step(self):
+        """jitted ``(states, stacked_inputs) -> (states, audio)`` with audio
+        ``[lanes, channels, num_blocks * block_frames]``: a ``lax.scan`` over
+        the block axis, so ONE device dispatch renders ``num_blocks`` blocks
+        on every lane — the batched analog of
+        ``RenderProgram.render(mode="scan")``.  Amortizes per-block dispatch
+        and host bookkeeping entirely on-device (offline throughput shape)."""
+        if self._scan_jit is None:
+            raw = self._raw_step
+
+            def scan_fn(states, stacked):
+                states, audios = jax.lax.scan(raw, states, stacked)
+                # [blocks, lanes, ch, n] -> [lanes, ch, blocks * n]
+                a = jnp.moveaxis(audios, 0, 2)
+                states_out = states
+                return states_out, a.reshape(a.shape[0], a.shape[1], -1)
+
+            if self._lane_sharding is not None:
+                in_stacked = NamedSharding(self.mesh, P(None, "data"))
+                out_audio = (NamedSharding(self.mesh, P())
+                             if self.mixdown else self._lane_sharding)
+                self._scan_jit = jax.jit(
+                    scan_fn,
+                    in_shardings=(self._lane_sharding, in_stacked),
+                    out_shardings=(self._lane_sharding, out_audio))
+            else:
+                self._scan_jit = jax.jit(scan_fn)
+        return self._scan_jit
+
+    def render_scan(self, duration_frames: int, states=None):
+        n = self.program.ctx.block_frames
+        num_blocks = max((duration_frames + n - 1) // n, 1)
+        states = states if states is not None else self.init_states()
+        states, audio = self.scan_step(states, self.stacked_inputs(num_blocks))
+        return np.asarray(audio[..., :duration_frames])

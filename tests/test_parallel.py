@@ -108,3 +108,21 @@ def test_2d_lanes_by_graph_sharding_matches():
     _, audio = vstep(states, tiled)
     _, ref = jax.jit(jax.vmap(prog._step))(states, tiled)
     np.testing.assert_array_equal(np.asarray(audio), np.asarray(ref))
+
+
+def test_render_scan_matches_block_loop():
+    """scan-over-blocks (one dispatch, many blocks) is bit-identical to the
+    per-block step loop, unsharded and mesh-sharded."""
+    a_loop = BatchedRenderProgram(make_prog(), lanes=4).render(4000)
+    a_scan = BatchedRenderProgram(make_prog(), lanes=4).render_scan(4000)
+    np.testing.assert_array_equal(a_scan, a_loop)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_render_scan_sharded_matches():
+    b = BatchedRenderProgram(make_prog(), lanes=8, mesh=data_mesh(8))
+    a_scan = b.render_scan(4096)
+    assert a_scan.shape == (8, 2, 4096)
+    single = make_prog().render(duration_frames=4096)
+    for lane in range(8):
+        np.testing.assert_allclose(a_scan[lane], single, atol=1e-6)
