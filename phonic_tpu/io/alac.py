@@ -480,6 +480,15 @@ def _find_box(data, start, end, *path):
 
 def parse_m4a(data):
     """Returns (cookie, packets: list[bytes]).  Raises if no alac track."""
+    cookie, index = parse_m4a_index(data)
+    return cookie, [bytes(data[off:off + size]) for off, size in index]
+
+
+def parse_m4a_index(data):
+    """Returns (cookie, index: list[(byte_offset, byte_size)]) for the ALAC
+    track's packets — the random-access form of parse_m4a (MP4 sample
+    tables; each ALAC packet decodes independently, so any packet can be
+    fetched and decoded without its predecessors)."""
     moov = _find_box(data, 0, len(data), b"moov")
     if moov is None:
         raise MediaFileError("m4a: missing moov box")
@@ -533,7 +542,7 @@ def parse_m4a(data):
             ccount, = struct.unpack_from(">I", data, b + 4)
             offsets = list(struct.unpack_from(f">{ccount}Q", data, b + 8))
         # expand stsc: samples per chunk
-        packets = []
+        index = []
         si = 0
         for ci in range(ccount):
             spc = 0
@@ -544,10 +553,10 @@ def parse_m4a(data):
             for _ in range(spc):
                 if si >= scount:
                     break
-                packets.append(bytes(data[off:off + sizes[si]]))
+                index.append((off, sizes[si]))
                 off += sizes[si]
                 si += 1
-        return cookie, packets
+        return cookie, index
     raise UnsupportedFormatError("m4a: no ALAC audio track")
 
 

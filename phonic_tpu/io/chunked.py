@@ -14,8 +14,9 @@ Formats: WAV (PCM 8/16/24/32, float32/64, IMA/MS ADPCM) and AIFF seek
 straight to the data bytes; mp3 (libmpg123) and ogg/vorbis (libvorbisfile)
 seek via their libraries' sample-accurate seek; FLAC decodes sequentially
 from the last position and restarts on backward jumps (the LRU absorbs loop
-jumps).  `open_chunked` sniffs like io/decoder.py and falls back to a
-full-decode reader for registered plugin formats.
+jumps); m4a/ALAC fetches + decodes exactly the packets covering a request
+via the MP4 sample tables.  `open_chunked` sniffs like io/decoder.py and
+falls back to a full-decode reader for registered plugin formats.
 """
 
 from __future__ import annotations
@@ -420,6 +421,64 @@ class VorbisChunkedReader(ChunkedReader):
             self._lib.ov_clear(self._vf)
 
 
+class AlacChunkedReader(ChunkedReader):
+    """Seekable m4a/ALAC: the MP4 sample tables (stsz/stsc/stco) give the
+    byte offset of every packet and each ALAC packet decodes independently
+    (no inter-frame prediction), so random access = fetch + decode only the
+    packets covering the request.  Only the packet index stays resident;
+    packet bytes are re-read from the open file on demand (reference decode
+    path: src/source/file/decoder.rs via symphonia's alac + isomp4)."""
+
+    def __init__(self, path):
+        from .alac import AlacCookie, decode_packet, parse_m4a_index
+        self._path = Path(path)
+        self._decode = decode_packet
+        data = self._path.read_bytes()  # transient: parse, then drop
+        self._cookie, self._index = parse_m4a_index(data)
+        if not self._index:
+            raise MediaFileError(f"{path}: no ALAC packets")
+        del data
+        self._f = open(self._path, "rb")
+        self._lock = threading.Lock()
+        c = self._cookie
+        self.sample_rate = int(c.sample_rate)
+        self.channels = int(c.num_channels)
+        self.loops = []
+        self._fl = max(int(c.frame_length), 1)
+        self._scale = np.float32(1.0 / (1 << (c.bit_depth - 1)))
+        # packets run frame_length samples except the (possibly short) last
+        last = self._decode_at(len(self._index) - 1)
+        self._last_n = last.shape[1]
+        self.frames = (len(self._index) - 1) * self._fl + self._last_n
+
+    def _decode_at(self, pi: int) -> np.ndarray:
+        off, size = self._index[pi]
+        with self._lock:
+            self._f.seek(off)
+            raw = self._f.read(size)
+        return self._decode(self._cookie, raw)
+
+    def read(self, start, count):
+        return self._padded(start, count, self._read_valid)
+
+    def _read_valid(self, lo, n):
+        out = np.zeros((self.channels, n), np.float32)
+        p0 = lo // self._fl
+        p1 = min((lo + n - 1) // self._fl, len(self._index) - 1)
+        for pi in range(p0, p1 + 1):
+            x = self._decode_at(pi)
+            pstart = pi * self._fl
+            a = max(lo, pstart)
+            b = min(lo + n, pstart + x.shape[1])
+            if b > a:
+                out[:, a - lo:b - lo] = \
+                    x[:, a - pstart:b - pstart].astype(np.float32) * self._scale
+        return out
+
+    def close(self):
+        self._f.close()
+
+
 class FullDecodeReader(BufferReader):
     """Fallback for plugin formats without a chunked path: decodes the whole
     file once (the pre-round-3 behavior, O(file) host memory)."""
@@ -521,6 +580,8 @@ def open_chunked(path, chunk_frames: int = 65536,
         inner = Mpg123ChunkedReader(p)
     elif fmt == "ogg":
         inner = VorbisChunkedReader(p)
+    elif fmt == "m4a":
+        inner = AlacChunkedReader(p)
     else:
         raise UnsupportedFormatError(
             f"{p}: format '{fmt}' has no built-in decoder; register one "

@@ -94,6 +94,32 @@ def test_flac_chunked(tmp_path):
     assert_reader_matches_full(path)
 
 
+def test_alac_chunked(tmp_path):
+    """m4a/ALAC random access through the MP4 sample tables (each packet
+    decodes independently) — was a hole: open_chunked used to reject m4a
+    outright, so StreamedFileSource could not play ALAC at all."""
+    from phonic_tpu.io.alac import write_alac
+    path = tmp_path / "t.m4a"
+    write_alac(path, sig(17003), SR, mode="rice", order=4)
+    assert_reader_matches_full(path)
+
+
+def test_alac_streamed_source(tmp_path):
+    from phonic_tpu import EngineConfig, FilePlaybackOptions, Mixer, RenderProgram
+    from phonic_tpu.io.alac import write_alac
+    from phonic_tpu.sources.streamed import StreamedFileSource
+    x = sig(9000, sr=48000)
+    path = tmp_path / "s.m4a"
+    write_alac(path, x, 48000)
+    m = Mixer("main")
+    m.add_source(StreamedFileSource(str(path),
+                                    FilePlaybackOptions(fade_out_secs=0.0),
+                                    chunk_frames=2048, max_chunks=4))
+    prog = RenderProgram(m, EngineConfig(sample_rate=48000, block_frames=1024))
+    out = prog.render(duration_frames=9000)
+    np.testing.assert_allclose(np.asarray(out), x[:, :9000], atol=2e-4)
+
+
 def test_ima_adpcm_chunked(tmp_path):
     from test_adpcm import _encode_ima, _wav_container
     x = (sig(8000) * 32000).astype(np.int16)
