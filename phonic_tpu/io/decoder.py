@@ -5,10 +5,12 @@ buffer + loop range + guard frame), src/source/file/info.rs (metadata-only
 probe), src/source/file/decoder.rs (format probing / packet decode).
 
 The reference decodes via the symphonia crate (wav/aiff/flac/mp3/ogg/alac);
-here WAV, AIFF and FLAC are decoded natively (pure NumPy) and other containers
-raise a clear `UnsupportedFormatError` carrying the detected format — the
-decode plugin protocol (`register_decoder`) lets deployments hook in ffmpeg
-or any other host decoder without touching the engine.
+here WAV, AIFF, FLAC and ALAC are decoded natively (NumPy spec decoders with
+C hot loops, io/flac.py + io/alac.py + native/flacdec.cpp), mp3/ogg delegate
+to libmpg123/libvorbisfile via ctypes, and anything else raises a clear
+`UnsupportedFormatError` carrying the detected format — the decode plugin
+protocol (`register_decoder`) lets deployments hook in ffmpeg or any other
+host decoder without touching the engine.
 """
 
 from __future__ import annotations
@@ -154,10 +156,21 @@ def decode_file(path):
 
 
 def file_info(path) -> AudioFileInfo:
+    """Metadata-only probe (reference: src/source/file/info.rs) — reads
+    headers/sample-tables, not audio, for every built-in format."""
     p = Path(path)
-    if _sniff_format(p) == "wav":
+    fmt = _sniff_format(p)
+    if fmt == "wav":
         winfo = wav_io.read_wav_info(p)
         return AudioFileInfo(str(p), winfo.sample_rate, winfo.channels, winfo.frames, winfo.loops)
+    if fmt in ("aiff", "flac", "mp3", "ogg", "m4a") and fmt not in _DECODERS:
+        from .chunked import open_chunked
+        r = open_chunked(p)
+        try:
+            return AudioFileInfo(str(p), r.sample_rate, r.channels, r.frames,
+                                 r.loops)
+        finally:
+            r.close()
     data, info = decode_file(p)
     return info
 
