@@ -68,6 +68,9 @@ class PlaybackStatusEvent:
     source: object  # the source node
     position: int = 0  # output frames into the source's playback
     exhausted: bool = False
+    # opaque user context passed along when starting playback (reference:
+    # PlaybackStatusContext, src/source/status.rs:9-36)
+    context: object = None
 
 
 @dataclasses.dataclass
@@ -119,7 +122,23 @@ class _Handle:
             self._node.handle_message(message, time=self._player._when(at))
 
 
-class PlaybackHandle(_Handle):
+class _ContextMixin:
+    """Opaque status-event context, settable after play (reference:
+    FileSource::playback_status_context / set_playback_status_context,
+    src/source/file.rs:254-256)."""
+
+    def playback_status_context(self):
+        return self._player._contexts.get(self._node)
+
+    def set_playback_status_context(self, context):
+        with self._player._control_lock:
+            if context is None:
+                self._player._contexts.pop(self._node, None)
+            else:
+                self._player._contexts[self._node] = context
+
+
+class PlaybackHandle(_Handle, _ContextMixin):
     """File/synth playback control (reference: src/player/handles/file.rs)."""
 
     def stop(self, at: Optional[int] = None):
@@ -159,14 +178,29 @@ class PlaybackHandle(_Handle):
         return self._player.source_cpu_load(self._node)
 
 
-class GeneratorPlaybackHandle(_Handle):
+class GeneratorPlaybackHandle(_Handle, _ContextMixin):
     """reference: src/player/handles/generator.rs:200-460."""
 
     def note_on(self, note: int, volume: float = 1.0, panning: float = 0.0,
-                at: Optional[int] = None) -> int:
+                at: Optional[int] = None, context=None) -> int:
+        """With ``context``, the note's opaque context is recorded and
+        retrievable via ``note_context`` (reference: note_on_with_context,
+        src/player/handles/generator.rs:212-240 — there it rides the per-
+        voice status channel; here generators emit one status stream, so
+        per-note contexts are exposed by lookup instead)."""
         with self._player._control_lock:
-            return self._node.note_on(note, volume, panning,
-                                      self._player._when(at))
+            note_id = self._node.note_on(note, volume, panning,
+                                         self._player._when(at))
+            if context is not None:
+                ncs = self._player._note_contexts
+                ncs[(id(self._node), note_id)] = context
+                while len(ncs) > 4096:  # notes end device-side; stay bounded
+                    ncs.pop(next(iter(ncs)))
+            return note_id
+
+    def note_context(self, note_id: int):
+        """The context passed to ``note_on(..., context=...)``, if any."""
+        return self._player._note_contexts.get((id(self._node), note_id))
 
     def note_off(self, note_id: int, at: Optional[int] = None):
         with self._player._control_lock:
@@ -284,6 +318,10 @@ class Player:
         self.status_handler = None
         self._live_sources: set = set()
         self._last_pos_emit: dict = {}  # path -> output frame of last Position
+        # opaque user contexts echoed in status events (reference:
+        # PlaybackStatusContext, src/source/status.rs:9-36)
+        self._contexts: dict = {}  # node -> context
+        self._note_contexts: dict = {}  # (id(generator), note_id) -> context
         # sources with a play_* lifecycle (eligible for auto-retirement);
         # generators added via play_generator live until removed explicitly
         self._transient: set = set()
@@ -374,7 +412,11 @@ class Player:
             self._live_sources.discard(node)
             if emit and self.status_handler is not None:
                 self.status_handler(PlaybackStatusEvent(
-                    "stopped", node, exhausted=False))
+                    "stopped", node, exhausted=False,
+                    context=self._contexts.get(node)))
+        self._contexts.pop(node, None)
+        self._note_contexts = {k: v for k, v in self._note_contexts.items()
+                               if k[0] != id(node)}
         self._invalidate()
 
     def remove_mixer(self, mixer_or_handle):
@@ -399,7 +441,12 @@ class Player:
                     self._live_sources.discard(obj)
                     if self.status_handler is not None:
                         self.status_handler(PlaybackStatusEvent(
-                            "stopped", obj, exhausted=False))
+                            "stopped", obj, exhausted=False,
+                            context=self._contexts.get(obj)))
+                self._contexts.pop(obj, None)
+                self._note_contexts = {
+                    k: v for k, v in self._note_contexts.items()
+                    if k[0] != id(obj)}
             removed = {id(obj) for _p, k, obj in mixer.walk() if k == "source"}
             if self._program is not None:
                 self._last_pos_emit = {
@@ -434,11 +481,14 @@ class Player:
     def play_file(self, file: Union[str, AudioFileBuffer],
                   options: Optional[FilePlaybackOptions] = None,
                   mixer: Optional[Mixer] = None,
-                  stream: bool = False) -> PlaybackHandle:
+                  stream: bool = False,
+                  context=None) -> PlaybackHandle:
         """``stream=True`` plays via the O(window)-memory streamed source
         (reference: FilePlaybackOptions::streamed, src/source/file.rs:96).
         A path + stream=True never fully decodes: the source reads through
-        the chunked incremental decoder (io/chunked.py)."""
+        the chunked incremental decoder (io/chunked.py).  ``context`` is an
+        opaque value echoed in this source's status events (reference:
+        play_file_with_context, src/source/file.rs:282-297)."""
         from .sources.streamed import StreamedFileSource
         if stream:
             src = StreamedFileSource(file, options)
@@ -448,21 +498,31 @@ class Player:
             src = FileSource(buf, options)
         (mixer or self.main_mixer).add_source(src)
         self._transient.add(src)
+        if context is not None:
+            self._contexts[src] = context
         self._invalidate()
         return PlaybackHandle(self, src)
 
     def play_synth(self, synth: SynthDef,
                    options: Optional[SynthPlaybackOptions] = None,
-                   mixer: Optional[Mixer] = None) -> PlaybackHandle:
+                   mixer: Optional[Mixer] = None,
+                   context=None) -> PlaybackHandle:
+        """``context``: see play_file (reference:
+        play_synth_source_with_context, src/source/synth.rs)."""
         src = SynthSource(synth, options)
         (mixer or self.main_mixer).add_source(src)
         self._transient.add(src)
+        if context is not None:
+            self._contexts[src] = context
         self._invalidate()
         return PlaybackHandle(self, src)
 
     def play_generator(self, generator: Generator,
-                       mixer: Optional[Mixer] = None) -> GeneratorPlaybackHandle:
+                       mixer: Optional[Mixer] = None,
+                       context=None) -> GeneratorPlaybackHandle:
         (mixer or self.main_mixer).add_source(generator)
+        if context is not None:
+            self._contexts[generator] = context
         self._invalidate()
         return GeneratorPlaybackHandle(self, generator)
 
@@ -714,12 +774,14 @@ class Player:
                     continue
                 self._last_pos_emit[path] = self._position
                 self.status_handler(PlaybackStatusEvent(
-                    "position", node, position=self._position - start))
+                    "position", node, position=self._position - start,
+                    context=self._contexts.get(node)))
             elif was_live and not playing:
                 self._live_sources.discard(node)
                 self._last_pos_emit.pop(path, None)
                 self.status_handler(PlaybackStatusEvent(
-                    "stopped", node, exhausted=True))
+                    "stopped", node, exhausted=True,
+                    context=self._contexts.get(node)))
 
     def run(self, duration_frames: Optional[int] = None):
         """Pump blocks into the output device until the graph exhausts (or

@@ -164,6 +164,46 @@ def test_playback_status_events():
     assert pos == sorted(pos) and pos[-1] > 0
 
 
+def test_playback_status_context():
+    """Opaque contexts ride every status event of their playback
+    (reference: PlaybackStatusContext, src/source/status.rs:9-36;
+    play_file_with_context, src/source/file.rs:282-297)."""
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    events = []
+    player.status_handler = events.append
+    ctx = {"tag": "intro-stem"}
+    h = player.play_file(tone_buffer(frames=10000),
+                         FilePlaybackOptions(fade_out_secs=0.0), context=ctx)
+    plain = player.play_file(tone_buffer(frames=10000),
+                             FilePlaybackOptions(fade_out_secs=0.0))
+    assert h.playback_status_context() is ctx
+    assert plain.playback_status_context() is None
+    player.run(duration_frames=16384)
+    tagged = [e for e in events if e.source is h._node]
+    untagged = [e for e in events if e.source is plain._node]
+    assert tagged and all(e.context is ctx for e in tagged)
+    assert untagged and all(e.context is None for e in untagged)
+    assert any(e.kind == "stopped" and e.context is ctx for e in tagged)
+    # settable after play (file.rs:254-256)
+    ctx2 = ("swapped",)
+    h.set_playback_status_context(ctx2)
+    assert h.playback_status_context() is ctx2
+
+
+def test_note_on_context():
+    """note_on_with_context analog (generator.rs:212-240)."""
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    s = Sampler(tone_buffer(frames=4000),
+                envelope=AhdsrConfig(attack=0.0, release=0.05))
+    g = player.play_generator(s, context="gen-ctx")
+    nid = g.note_on(60, 0.8, context={"step": 3})
+    other = g.note_on(64, 0.8)
+    assert g.note_context(nid) == {"step": 3}
+    assert g.note_context(other) is None
+    assert g.playback_status_context() == "gen-ctx"
+    player.run(duration_frames=4096)
+
+
 def test_no_recompiles_in_steady_state():
     # the jit-recompile guard: the analog of the reference's assert_no_alloc
     player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=1024))
