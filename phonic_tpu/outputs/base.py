@@ -72,11 +72,17 @@ class OutputDevice(abc.ABC):
         """Accept one planar float32 [channels, frames] block (may bloc
         until the device has room)."""
 
+    _paused = False
+
     def pause(self) -> None:
-        pass
+        self._paused = True
 
     def resume(self) -> None:
-        pass
+        self._paused = False
+
+    def is_running(self) -> bool:
+        """Playback not paused (reference: OutputDevice::is_running)."""
+        return not self._paused
 
     @abc.abstractmethod
     def close(self) -> None: ...

@@ -136,9 +136,11 @@ class RtOutput(OutputDevice):
         self._lib.ph_ring_write(self._handle, ptr, inter.shape[0] // self._ch)
 
     def pause(self) -> None:
+        self._paused = True
         self._lib.ph_ring_pause(self._handle, 1)
 
     def resume(self) -> None:
+        self._paused = False
         self._lib.ph_ring_pause(self._handle, 0)
 
     def close(self) -> None:

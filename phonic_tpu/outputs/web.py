@@ -260,6 +260,10 @@ class WebOutput(OutputDevice):
     def resume(self) -> None:
         self._paused.clear()
 
+    def is_running(self) -> bool:
+        # self._paused here is a threading.Event, not the base-class flag
+        return not self._paused.is_set()
+
     def close(self) -> None:
         self._closed.set()
         self._server.shutdown()

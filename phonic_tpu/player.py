@@ -456,6 +456,55 @@ class Player:
             parent.remove_mixer(mixer)
             self._invalidate()
 
+    def remove_all_mixers(self, parent: Optional[Mixer] = None):
+        """Remove every direct sub-mixer of ``parent`` (default: main) and
+        their subtrees (reference: Player::remove_all_mixers,
+        src/player.rs:871-886)."""
+        target = parent or self.main_mixer
+        with self._control_lock:
+            for child in list(target.children):
+                self.remove_mixer(child)
+
+    def remove_all_effects(self, mixer: Optional[Mixer] = None):
+        """Remove every effect on ``mixer`` (default: main) (reference:
+        Player::remove_all_effects, src/player.rs:994-1009).  The Player's
+        internal master-gain stage is engine plumbing, not a user effect,
+        and stays."""
+        target = mixer or self.main_mixer
+        with self._control_lock:
+            for e in list(target.effects):
+                if e is self._master:
+                    continue
+                target.remove_effect(e)
+            self._invalidate()
+
+    def stop_all_sources(self):
+        """Immediately stop all playing transient sources and drop every
+        scheduled event (reference: Player::stop_all_sources,
+        src/player.rs:1012-1045 — stop messages to transient sources +
+        RemoveAllPendingEvents force-pushed to every mixer)."""
+        with self._control_lock:
+            self.remove_all_pending_events()
+            for node in list(self._transient):
+                if self.main_mixer.find_parent_of(node) is None:
+                    self._transient.discard(node)
+                    continue
+                self._stop_source(node, at=None)
+
+    def is_running(self) -> bool:
+        """Output playback running (reference: Player::is_running)."""
+        return self.output.is_running()
+
+    def start(self):
+        """Resume output playback (reference: Player::start)."""
+        self.output.resume()
+
+    def pause(self):
+        """Pause output playback without dropping sources (the reference's
+        Player::stop, src/player.rs:506-509; this Player's ``stop()`` ends
+        the async pump instead)."""
+        self.output.pause()
+
     def _retire_exhausted_locked(self):
         """Prune exhausted transient sources in batches (reference retires
         them every block, src/source/mixed.rs:714-715; here each prune is a

@@ -204,6 +204,36 @@ def test_note_on_context():
     player.run(duration_frames=4096)
 
 
+def test_stop_all_and_remove_all():
+    """Player::stop_all_sources / remove_all_effects / remove_all_mixers
+    (src/player.rs:871-886, 994-1045) + pause/start/is_running
+    (src/player.rs:495-509)."""
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=2048))
+    sub = player.add_mixer()
+    sub2 = player.add_mixer()
+    player.play_file(tone_buffer(frames=40000),
+                     FilePlaybackOptions(fade_out_secs=0.0), mixer=sub.mixer)
+    player.play_file(tone_buffer(frames=40000),
+                     FilePlaybackOptions(fade_out_secs=0.0))
+    fx = player.add_effect(FilterEffect(cutoff=800.0))
+    player.render_block()
+    assert np.max(np.abs(player.render_block())) > 0.0
+    player.stop_all_sources()
+    player.render_block()  # stop lands inside this block
+    assert np.max(np.abs(player.render_block())) == 0.0
+    player.remove_all_effects()
+    assert fx._node not in player.main_mixer.effects
+    assert player._master in player.main_mixer.effects  # master stays
+    player.remove_all_mixers()
+    assert player.main_mixer.children == []
+    assert player.is_running()
+    player.pause()
+    assert not player.is_running()
+    player.start()
+    assert player.is_running()
+    player.close()
+
+
 def test_no_recompiles_in_steady_state():
     # the jit-recompile guard: the analog of the reference's assert_no_alloc
     player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=1024))
