@@ -24,7 +24,17 @@ from .modulation.config import (
     EnvelopeSource, KeytrackingSource, LfoSource, ModulationConfig,
     VelocitySource,
 )
-from .player import Player, PlayerConfig
-from .io.decoder import AudioFileBuffer, AudioFileInfo
+from .player import (
+    AudioLevel, CpuLoad, EffectHandle, GeneratorPlaybackHandle, MixerHandle,
+    PlaybackHandle, PlaybackStatusEvent, Player, PlayerConfig,
+)
+from .graph.nodes import Effect, Source
+from .params import (
+    BooleanParameter, DecibelScaling, EnumParameter, ExponentialScaling,
+    FloatParameter, IntegerParameter, LinearScaling, Scaling, SigmoidScaling,
+    db_to_linear, linear_to_db,
+)
+from .outputs.base import OutputDevice, default_output_device
+from .io.decoder import AudioFileBuffer, AudioFileInfo, file_info, register_decoder
 
 __version__ = "0.1.0"
