@@ -270,10 +270,10 @@ def main():
             with open("bench_results.json", "w") as f:
                 json.dump(results, f, indent=1)
         if name == HEADLINE:
-            key = f"{HEADLINE}_x16lanes_scan4"
+            key = f"{HEADLINE}_x16lanes_scan8"
             try:
                 signal.alarm(600)
-                rt = bench_scan(make(), lanes=16, scan_blocks=4)
+                rt = bench_scan(make(), lanes=16, scan_blocks=8)
                 results[key] = round(rt, 2)
                 print(f"  {key}: {rt:.1f}x realtime", file=sys.stderr)
             except _Budget:
@@ -287,7 +287,7 @@ def main():
             with open("bench_results.json", "w") as f:
                 json.dump(results, f, indent=1)
 
-    candidates = [results.get(f"{HEADLINE}_x16lanes_scan4")] + \
+    candidates = [results.get(f"{HEADLINE}_x16lanes_scan8")] + \
                  [results.get(f"{HEADLINE}_x{k}lanes")
                   for k in (16, 8)] + [results.get(HEADLINE)]
     numeric = [v for v in candidates if isinstance(v, (int, float))]
