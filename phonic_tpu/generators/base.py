@@ -31,6 +31,21 @@ class GeneratorPlaybackOptions:
     # GeneratorPlaybackHandle.cpu_load() (reference: src/generator.rs:41-78
     # measure_cpu_load option)
     measure_cpu_load: bool = False
+    # seconds between Position status events (None = positions never
+    # emitted); reference default 1 s (src/generator.rs:60-64)
+    playback_pos_emit_rate: Optional[float] = 1.0
+
+    def validate(self):
+        """reference: GeneratorPlaybackOptions::validate,
+        src/generator.rs:118-140."""
+        from ..errors import ParameterError
+        if not (self.volume >= 0.0):  # also catches NaN
+            raise ParameterError(f"playback options 'volume' value is {self.volume!r}")
+        if not (-1.0 <= self.panning <= 1.0):
+            raise ParameterError(f"playback options 'panning' value is {self.panning!r}")
+        if self.voices < 1:
+            raise ParameterError(f"playback options voice count is {self.voices!r}")
+        return self
 
 
 @dataclasses.dataclass
@@ -51,7 +66,7 @@ class Generator(Source):
 
     def __init__(self, options: Optional[GeneratorPlaybackOptions] = None, name=None):
         super().__init__(name)
-        self.options = options or GeneratorPlaybackOptions()
+        self.options = (options or GeneratorPlaybackOptions()).validate()
         self.events: list[NoteEvent] = []
 
     def note_on(self, note: int, volume: float = 1.0, panning: float = 0.0,

@@ -26,7 +26,7 @@ from typing import Optional, Union
 import numpy as np
 
 from .config import EngineConfig
-from .errors import NotFoundError, PhonicError
+from .errors import NotFoundError, ParameterError, PhonicError
 from .events import ParamTimeline
 from .generators.base import Generator
 from .graph.engine import NEVER, RenderProgram
@@ -98,6 +98,12 @@ class _Handle:
     def __init__(self, player: "Player", node):
         self._player = player
         self._node = node
+
+    @property
+    def id(self) -> int:
+        """Stable numeric id of this playback/effect (reference:
+        PlaybackId/EffectId, src/player/handles/*.rs `id()`)."""
+        return self._player._id_for(self._node)
 
     def set_parameter(self, pid: str, value, at: Optional[int] = None):
         """Schedule a parameter change (sample-accurate).  ``at`` defaults to
@@ -242,7 +248,19 @@ class GeneratorPlaybackHandle(_Handle, _ContextMixin):
 
 
 class EffectHandle(_Handle):
-    pass
+    @property
+    def effect_name(self) -> str:
+        """The effect's display name (reference:
+        EffectHandle::effect_name, src/player/handles/effect.rs:57-60)."""
+        return getattr(self._node, "name", type(self._node).__name__)
+
+    @property
+    def mixer_id(self) -> int:
+        """Id of the mixer this effect runs on (reference:
+        EffectHandle::mixer_id, src/player/handles/effect.rs:52-55)."""
+        parent = self._player.main_mixer.find_parent_of(self._node)
+        return self._player._id_for(parent if parent is not None else
+                                    self._player.main_mixer)
 
 
 class MixerHandle:
@@ -251,6 +269,12 @@ class MixerHandle:
     def __init__(self, player: "Player", mixer: Mixer):
         self._player = player
         self.mixer = mixer
+
+    @property
+    def id(self) -> int:
+        """Stable numeric id (reference: MixerHandle::id,
+        src/player/handles/mixer.rs:37-40)."""
+        return self._player._id_for(self.mixer)
 
     def add_effect(self, effect: Effect, index=None) -> EffectHandle:
         return self._player.add_effect(effect, mixer=self.mixer, index=index)
@@ -271,8 +295,18 @@ class MixerHandle:
     def cpu_load(self) -> CpuLoad:
         return self._player.cpu_load()
 
+    def cpu_load_state(self):
+        """Pollable CpuLoad accessor (reference: MixerHandle::cpu_load_state,
+        src/player/handles/mixer.rs:55-59)."""
+        return lambda: self._player.cpu_load()
+
     def audio_level(self) -> AudioLevel:
         return self._player.mixer_audio_level(self.mixer)
+
+    def audio_level_state(self):
+        """Pollable AudioLevel accessor (reference:
+        MixerHandle::audio_level_state, src/player/handles/mixer.rs:72-76)."""
+        return lambda: self._player.mixer_audio_level(self.mixer)
 
 
 class Player:
@@ -325,6 +359,19 @@ class Player:
         # sources with a play_* lifecycle (eligible for auto-retirement);
         # generators added via play_generator live until removed explicitly
         self._transient: set = set()
+        # stable numeric ids for handles (reference: PlaybackId/EffectId/
+        # MixerId are monotonic usizes, src/source/playback.rs)
+        self._ids: dict = {}
+        self._next_id = 1
+
+    def _id_for(self, node) -> int:
+        with self._control_lock:
+            got = self._ids.get(id(node))
+            if got is None:
+                got = self._next_id
+                self._next_id += 1
+                self._ids[id(node)] = got
+            return got
 
     # ------------------------------------------------------------------
     # graph building (topology edits invalidate the compiled program)
@@ -393,6 +440,12 @@ class Player:
         node = getattr(source_or_handle, "_node", source_or_handle)
         with self._control_lock:
             self._remove_source_locked(node)
+
+    def remove_generator(self, generator_or_handle):
+        """Remove a generator added via add_generator/play_generator without
+        stopping its voices first (reference: Player::remove_generator,
+        src/player.rs:747-772 — a RemoveSource on the generator's playback)."""
+        self.remove_source(generator_or_handle)
 
     def _remove_source_locked(self, node, emit: bool = True):
         parent = self.main_mixer.find_parent_of(node)
@@ -673,6 +726,43 @@ class Player:
     def set_volume(self, volume: float, at: Optional[int] = None):
         self._set_parameter(self._master, "GAIN", volume, at)
 
+    # -- output-device introspection (reference: src/player.rs:407-441) --
+
+    @property
+    def output_sample_rate(self) -> int:
+        """The output device's sample rate (player.rs:412-414)."""
+        return self.output.sample_rate
+
+    @property
+    def output_channel_count(self) -> int:
+        """Main-mixer channel count: 2 under enforce_stereo_playback, else
+        the device's (player.rs:416-422)."""
+        return 2 if self.config.enforce_stereo_playback else self.output.channel_count
+
+    @property
+    def output_sample_frame_position(self) -> int:
+        """The device's actual playhead in sample frames — may lag
+        `position` by the device buffer (player.rs:425-432)."""
+        return self.output.sample_position
+
+    @property
+    def output_suspended(self) -> bool:
+        """True while the output device is paused/suspended
+        (player.rs:407-409)."""
+        return not self.output.is_running
+
+    @property
+    def output_volume(self) -> float:
+        """The device-edge global volume factor (player.rs:435-437)."""
+        return self.output.volume
+
+    def set_output_volume(self, volume: float):
+        """Set the device-edge global volume (smoothed at the device
+        boundary; player.rs:439-441 + cpal.rs:717-720)."""
+        if volume < 0.0:
+            raise ParameterError("output volume must be >= 0")
+        self.output.set_volume(volume)
+
     @property
     def position(self) -> int:
         """Output frames rendered so far (the device's own playhead may lag;
@@ -681,6 +771,24 @@ class Player:
 
     def cpu_load(self) -> CpuLoad:
         return self._cpu
+
+    def cpu_load_state(self):
+        """A zero-arg callable returning the latest CpuLoad — the analog of
+        the reference's lock-free SharedCpuLoadState handle that can be
+        polled from UI threads without going through the Player
+        (player.rs:457-461)."""
+        return lambda: self._cpu
+
+    def audio_level_state(self):
+        """A zero-arg callable returning the latest master AudioLevel
+        (reference: Player::audio_level_state, player.rs:474-478)."""
+        return lambda: self._level
+
+    def set_panic_handler(self, handler) -> None:
+        """Install (or clear, with None) the callback invoked once when the
+        NaN guard trips (reference: Player::set_panic_handler,
+        player.rs:487-489)."""
+        self.panic_handler = handler
 
     def source_cpu_load(self, node, iters: int = 8) -> Optional[CpuLoad]:
         """Per-source CPU-load probe (reference: MeasuredSource wall-clock

@@ -79,6 +79,18 @@ class FilePlaybackOptions:
     # PlaybackHandle.cpu_load() (reference: MeasuredSource, measured.rs)
     measure_cpu_load: bool = False
 
+    def validate(self):
+        """reference: FilePlaybackOptions::validate,
+        src/source/file.rs:197-217."""
+        from ..errors import ParameterError
+        if not (self.volume >= 0.0):  # also catches NaN
+            raise ParameterError(f"playback options 'volume' value is {self.volume!r}")
+        if not (-1.0 <= self.panning <= 1.0):
+            raise ParameterError(f"playback options 'panning' value is {self.panning!r}")
+        if not (0.0 <= self.speed < float("inf")):
+            raise ParameterError(f"playback options 'speed' value is {self.speed!r}")
+        return self
+
 
 class FileSource(Source):
     PARAMS = (VOLUME, PANNING, SPEED)
@@ -92,7 +104,7 @@ class FileSource(Source):
     ):
         super().__init__(name)
         self.buffer = buffer
-        self.options = options or FilePlaybackOptions()
+        self.options = (options or FilePlaybackOptions()).validate()
         self.loop_range = self.options.loop_range or buffer.loop_range
         self.loop_mode = buffer.loop_mode
         if self.options.resampling_quality not in ("default", "high"):

@@ -63,7 +63,7 @@ class StreamedFileSource(Source):
                  speed_cap: Optional[float] = None, name=None,
                  chunk_frames: int = 65536, max_chunks: int = 16):
         super().__init__(name)
-        self.options = options or FilePlaybackOptions()
+        self.options = (options or FilePlaybackOptions()).validate()
         from ..io.chunked import BufferReader, CachedReader, open_chunked
         if isinstance(file, AudioFileBuffer):
             # preloaded data: wrap it (no extra copies; the guard frame is

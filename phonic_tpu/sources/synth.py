@@ -76,15 +76,30 @@ class SynthDef:
 
 @dataclasses.dataclass
 class SynthPlaybackOptions:
-    """reference: src/source/synth.rs:27-61."""
+    """reference: src/source/synth.rs:27-75."""
 
     volume: float = 1.0
     panning: float = 0.0
     start_time: int = 0
     duration: Optional[int] = None  # output frames of gate-on; None = until stop
+    fade_in_secs: float = 0.0
     fade_out_secs: float = 0.05
     frequency: float = 440.0
     velocity: float = 1.0
+    # seconds between Position status events (None = positions never
+    # emitted); reference default 1 s (src/source/synth.rs:46-51)
+    playback_pos_emit_rate: Optional[float] = 1.0
+    # enable the per-source CPU-load probe (src/source/synth.rs:58-61)
+    measure_cpu_load: bool = False
+
+    def validate(self):
+        """reference: SynthPlaybackOptions::validate, synth.rs:128-143."""
+        from ..errors import ParameterError
+        if not (self.volume >= 0.0):  # also catches NaN
+            raise ParameterError(f"playback options 'volume' value is {self.volume!r}")
+        if not (-1.0 <= self.panning <= 1.0):
+            raise ParameterError(f"playback options 'panning' value is {self.panning!r}")
+        return self
 
 
 class SynthSource(Source):
@@ -97,7 +112,7 @@ class SynthSource(Source):
                  name=None):
         super().__init__(name)
         self.synth = synth
-        self.options = options or SynthPlaybackOptions()
+        self.options = (options or SynthPlaybackOptions()).validate()
         # user-declared FourCC parameters become engine-smoothed inputs
         self.PARAMS = SynthSource.PARAMS + tuple(synth.params)
 
@@ -118,6 +133,7 @@ class SynthSource(Source):
         if type(self) is not SynthSource:
             return None
         return ("synth", id(self.synth),
+                round(self.options.fade_in_secs, 9),
                 round(self.options.fade_out_secs, 9))
 
     def source_batch_statics(self, ctx):
@@ -177,6 +193,17 @@ class SynthSource(Source):
             audio = audio[None, :]
         audio = remap_channels(audio, ctx.channels)
         audio = audio * (age >= 0).astype(jnp.float32)[None, :]
+
+        # analytic exponential fade-in from start (synth.rs:41-44 fade_in
+        # option; exponential fader semantics, src/utils/fader.rs:76-121)
+        if opt.fade_in_secs > 0.0:
+            k_in = (age + 1).astype(jnp.float32)
+            log1m_in = math.log1p(-(1.0 - math.exp(
+                -1.0 / max(ctx.sample_rate * opt.fade_in_secs / math.log(100.0), 1e-9)
+            )))
+            up = 1.0 - jnp.exp(log1m_in * jnp.maximum(k_in, 0.0))
+            audio = audio * jnp.where(
+                k_in > 0, jnp.where(up > 1.0 - 1e-4, 1.0, up), 0.0)[None, :]
 
         # de-click fade after the gate closes (the SynthDef's own envelope
         # normally handles the decay; this guards non-enveloped defs)
