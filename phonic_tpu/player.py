@@ -360,17 +360,18 @@ class Player:
         # generators added via play_generator live until removed explicitly
         self._transient: set = set()
         # stable numeric ids for handles (reference: PlaybackId/EffectId/
-        # MixerId are monotonic usizes, src/source/playback.rs)
-        self._ids: dict = {}
+        # MixerId are monotonic usizes, src/source/playback.rs).  Stored on
+        # the node itself (not a dict keyed by id(node), which could collide
+        # once a dead node's address is reused).
         self._next_id = 1
 
     def _id_for(self, node) -> int:
         with self._control_lock:
-            got = self._ids.get(id(node))
+            got = getattr(node, "_phonic_stable_id", None)
             if got is None:
                 got = self._next_id
                 self._next_id += 1
-                self._ids[id(node)] = got
+                node._phonic_stable_id = got
             return got
 
     # ------------------------------------------------------------------
