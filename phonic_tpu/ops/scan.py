@@ -21,6 +21,33 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Minimum block length for routing through the Pallas kernels: below this the
+# XLA associative scan's overhead is irrelevant and pallas_call's fixed cost
+# isn't worth paying.
+_PALLAS_MIN_T = 2048
+
+
+def _use_pallas(dtype, t, reverse=False) -> bool:
+    """Route through ops/pallas_scan only when explicitly requested.
+
+    Measured on the target TPU (standalone second-order scan, [2, 131072],
+    both paths under jit): XLA associative scan 0.019 ms/block steady vs
+    Pallas 0.022 ms — a wash at steady state, so the default stays XLA.
+    The Pallas path's real advantage is compile time (0.9 s vs 61.8 s for
+    the standalone program on this remote-relay backend); set
+    ``PHONIC_TPU_PALLAS=1`` to opt in when iterating on graph shapes.
+    """
+    import os
+
+    if not os.environ.get("PHONIC_TPU_PALLAS"):
+        return False
+    if reverse or t < _PALLAS_MIN_T or dtype != jnp.float32:
+        return False
+    from .pallas_scan import pallas_scan_supported
+
+    return pallas_scan_supported()
 
 
 def linear_recurrence(a, b, y0, axis: int = -1, reverse: bool = False):
@@ -36,6 +63,19 @@ def linear_recurrence(a, b, y0, axis: int = -1, reverse: bool = False):
     if axis != -1:
         a = jnp.moveaxis(a, axis, -1)
         b = jnp.moveaxis(b, axis, -1)
+
+    if _use_pallas(b.dtype, b.shape[-1], reverse):
+        from .pallas_scan import iir1_scan
+
+        lead = b.shape[:-1]
+        t = b.shape[-1]
+        y0_full = jnp.broadcast_to(jnp.asarray(y0, b.dtype), lead)
+        r = int(np.prod(lead)) if lead else 1
+        y = iir1_scan(a.reshape(r, t), b.reshape(r, t), y0_full.reshape(r))
+        y = y.reshape(lead + (t,))
+        if axis != -1:
+            y = jnp.moveaxis(y, -1, axis)
+        return y
 
     # Fold the initial state into the first element: b[0] += a[0] * y0.
     y0 = jnp.asarray(y0, b.dtype)
@@ -64,6 +104,25 @@ def linear_recurrence_2(a11, a12, a21, a22, b1, b2, s0_1, s0_2, axis: int = -1):
     if axis != -1:
         arrs = [jnp.moveaxis(x, axis, -1) for x in arrs]
     a11, a12, a21, a22, b1, b2 = arrs
+
+    if _use_pallas(b1.dtype, b1.shape[-1]):
+        from .pallas_scan import iir2_scan
+
+        lead = b1.shape[:-1]
+        t = b1.shape[-1]
+        r = int(np.prod(lead)) if lead else 1
+        s1_full = jnp.broadcast_to(jnp.asarray(s0_1, b1.dtype), lead).reshape(r)
+        s2_full = jnp.broadcast_to(jnp.asarray(s0_2, b2.dtype), lead).reshape(r)
+        s1, s2 = iir2_scan(
+            a11.reshape(r, t), a12.reshape(r, t),
+            a21.reshape(r, t), a22.reshape(r, t),
+            b1.reshape(r, t), b2.reshape(r, t), s1_full, s2_full)
+        s1 = s1.reshape(lead + (t,))
+        s2 = s2.reshape(lead + (t,))
+        if axis != -1:
+            s1 = jnp.moveaxis(s1, -1, axis)
+            s2 = jnp.moveaxis(s2, -1, axis)
+        return s1, s2
 
     s0_1 = jnp.asarray(s0_1, b1.dtype)
     s0_2 = jnp.asarray(s0_2, b2.dtype)
