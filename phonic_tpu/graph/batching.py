@@ -249,9 +249,12 @@ class LeafBatch:
     renders (SURVEY §7.4 / round-3 TODO).
 
     Per-lane STATIC config that may differ inside a group (start times,
-    synth frequencies, buffer lengths) rides in as stacked traced inputs
-    declared by the node's ``source_batch_statics(ctx)``; state stacking
-    goes through the node class's optional ``batch_pad_states`` hook (the
+    synth frequencies, buffer lengths) is declared by the node's
+    ``source_batch_statics(ctx)`` and rides in the STATE pytree under
+    ``_statics`` — a jit argument, never a closure constant (CLAUDE.md:
+    constants are re-staged per execution on this backend; this is the same
+    rule that moved FileBatch's metadata into state).  State stacking goes
+    through the node class's optional ``batch_pad_states`` hook (the
     Sampler zero-pads buffers to the group's longest, with the live length
     traced as `_buf_frames`).  The DSP is the node's ``process`` verbatim —
     tests assert equality with the unbatched path."""
@@ -273,16 +276,32 @@ class LeafBatch:
         if pad is not None:
             sts = pad(self.nodes, sts)
         if not jax.tree.leaves(sts[0]):
-            return sts[0]  # stateless lanes (e.g. streamed sources)
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+            st = {}  # stateless lanes (e.g. streamed sources)
+        else:
+            st = dict(jax.tree.map(lambda *xs: jnp.stack(xs), *sts))
+        if self.statics:
+            st["_statics"] = dict(self.statics)
+        return st
 
     def render(self, state, pvals):
-        """state: stacked pytree; pvals: dict of [G, ...] parameter rows.
-        Returns (new_state, out [G, ch, n])."""
-        pvals = {**pvals, **self.statics}
+        """state: stacked pytree (with per-lane statics under ``_statics``);
+        pvals: dict of [G, ...] parameter rows.  Returns
+        (new_state, out [G, ch, n])."""
+        state = dict(state)
+        statics = state.pop("_statics", None)
+        if statics is not None:
+            pvals = {**pvals, **statics}
         fn = lambda st, pv: self.proto.process(st, None, pv, self.ctx)
         axes = (None, 0) if not jax.tree.leaves(state) else (0, 0)
-        return jax.vmap(fn, in_axes=axes)(state, pvals)
+        new, out = jax.vmap(fn, in_axes=axes)(state, pvals)
+        if statics is not None:
+            if not isinstance(new, dict):  # engine carry assumes dict states
+                raise TypeError(
+                    f"{type(self.proto).__name__}: source_batch_statics "
+                    "requires a dict node state")
+            new = dict(new)
+            new["_statics"] = statics
+        return new, out
 
 
 SamplerBatch = LeafBatch  # round-3 name, kept for compatibility

@@ -577,17 +577,19 @@ class RenderProgram:
             sm[key] = jax.tree.map(lambda nl, ol: nl.at[ni].set(ol[oi]),
                                    tree, old_tree)
         new_state["smoothers"] = sm
-        # auto-bypass silence ages: carry per-effect ages; group ages reset
-        # to 0 (= recently active) so a rebuilt group can never freeze a
-        # still-ringing tail mid-decay
+        # auto-bypass silence ages: carry per-effect ages; everything else
+        # (batch-group matrices, effects whose ages previously lived inside
+        # a batch matrix, freshly added effects) resets to 0 (= recently
+        # active) so a rebuild can never freeze a still-ringing tail
+        # mid-decay behind init_state's aged-out sentinel
         if "bypass" in new_state:
             old_b = old_state.get("bypass", {})
             nb = dict(new_state["bypass"])
             for k in nb:
-                if k.startswith("__batch"):
-                    nb[k] = jnp.zeros_like(nb[k])
-                elif k in old_b:
+                if not k.startswith("__batch") and k in old_b:
                     nb[k] = old_b[k]
+                else:
+                    nb[k] = jnp.zeros_like(nb[k])
             new_state["bypass"] = nb
         return new_state
 

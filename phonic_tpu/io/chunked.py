@@ -430,15 +430,24 @@ class AlacChunkedReader(ChunkedReader):
     path: src/source/file/decoder.rs via symphonia's alac + isomp4)."""
 
     def __init__(self, path):
+        import mmap
+
         from .alac import AlacCookie, decode_packet, parse_m4a_index
         self._path = Path(path)
         self._decode = decode_packet
-        data = self._path.read_bytes()  # transient: parse, then drop
+        self._f = open(self._path, "rb")
+        # mmap for the box walk: parsing touches only moov/sample-table
+        # pages (OS page cache), never faulting in the mdat audio payload —
+        # RSS stays O(tables) even for multi-GB files
+        try:
+            data = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # zero-length or exotic fs
+            data = self._path.read_bytes()
         self._cookie, self._index = parse_m4a_index(data)
+        if hasattr(data, "close"):
+            data.close()
         if not self._index:
             raise MediaFileError(f"{path}: no ALAC packets")
-        del data
-        self._f = open(self._path, "rb")
         self._lock = threading.Lock()
         c = self._cookie
         self.sample_rate = int(c.sample_rate)

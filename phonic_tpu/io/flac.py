@@ -410,6 +410,30 @@ class FlacStream:
         self.sample_rate, self.channels, self._bps, self.total_frames = info
         self._audio_bit0 = pos * 8
         self.restart()
+        if self.total_frames == 0:
+            # STREAMINFO total=0 is legal ("unknown", e.g. streaming
+            # encoders).  Everything downstream needs a concrete length
+            # (durations, loop folds, static shapes), and FLAC frames have
+            # no stored byte size, so one forward pass discovers it — and
+            # warms the sparse seek index while it's at it.  Matches the
+            # one-shot read_flac decoder's until-EOF semantics.
+            self._discover_total()
+
+    def _discover_total(self):
+        while not self._br.eof():
+            self._maybe_index()
+            subs = _decode_frame(self._br, self.channels, self._bps)
+            if subs is None:
+                break
+            self._decoded += np.asarray(subs[0]).shape[-1]
+        self.total_frames = self._decoded
+        self.restart()
+
+    def _maybe_index(self):
+        if (self._br.pos & 7) == 0 and self._decoded > 0 \
+                and self._decoded // self._INDEX_EVERY > \
+                    self._seek_index[-1][0] // self._INDEX_EVERY:
+            self._seek_index.append((self._decoded, self._br.pos))
 
     def restart(self):
         self._br = _BitReader(self._mm)
@@ -455,10 +479,7 @@ class FlacStream:
             blit(*self._pending)
         while self._decoded < lo + n and self._decoded < self.total_frames \
                 and not self._br.eof():
-            if (self._br.pos & 7) == 0 and self._decoded > 0 \
-                    and self._decoded // self._INDEX_EVERY > \
-                        self._seek_index[-1][0] // self._INDEX_EVERY:
-                self._seek_index.append((self._decoded, self._br.pos))
+            self._maybe_index()
             subs = _decode_frame(self._br, self.channels, self._bps)
             if subs is None:  # clean end of stream (native path)
                 break

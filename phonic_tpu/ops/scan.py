@@ -41,7 +41,7 @@ def _use_pallas(dtype, t, reverse=False) -> bool:
     """
     import os
 
-    if not os.environ.get("PHONIC_TPU_PALLAS"):
+    if os.environ.get("PHONIC_TPU_PALLAS", "").lower() not in ("1", "true", "on"):
         return False
     if reverse or t < _PALLAS_MIN_T or dtype != jnp.float32:
         return False

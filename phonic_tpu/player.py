@@ -329,6 +329,12 @@ class Player:
         self._program: Optional[RenderProgram] = None
         self._state = None
         self._position = 0
+        # rendered-but-unwritten audio left over from a non-block-aligned
+        # run(): the engine renders whole blocks (so _position stays
+        # block-aligned and the state/lowering never desync); the Player
+        # edge serves this tail before rendering anything new — the analog
+        # of the reference's pull-any-amount MixedSource::write loop
+        self._tail: Optional[np.ndarray] = None
         self._pending: list = []  # deferred control ops before first compile
         self._carry = None  # (program, state) stashed across topology edits
         self._cpu = CpuLoad()
@@ -750,7 +756,7 @@ class Player:
     def output_suspended(self) -> bool:
         """True while the output device is paused/suspended
         (player.rs:407-409)."""
-        return not self.output.is_running
+        return not self.output.is_running()
 
     @property
     def output_volume(self) -> float:
@@ -766,9 +772,12 @@ class Player:
 
     @property
     def position(self) -> int:
-        """Output frames rendered so far (the device's own playhead may lag;
-        see OutputDevice.sample_position)."""
-        return self._position
+        """Output frames delivered so far (the device's own playhead may lag;
+        see OutputDevice.sample_position).  The engine itself always renders
+        whole blocks; frames rendered past a non-aligned run() end sit in a
+        tail buffer and are not counted until written."""
+        tail = 0 if self._tail is None else self._tail.shape[1]
+        return self._position - tail
 
     def cpu_load(self) -> CpuLoad:
         return self._cpu
@@ -868,7 +877,16 @@ class Player:
             return self._render_block_locked()
 
     def _render_block_locked(self) -> np.ndarray:
-        return self._finish_block_locked(self._dispatch_block_locked())
+        audio = self._finish_block_locked(self._dispatch_block_locked())
+        if self._tail is not None and self._tail.shape[1]:
+            # a previous non-aligned run() left delivered-position behind the
+            # engine: return the stream-contiguous window (tail + head of the
+            # fresh block) and keep the remainder as the new tail
+            audio = np.concatenate([self._tail, audio], axis=1)
+            n = audio.shape[1] - self._tail.shape[1]
+            self._tail = audio[:, n:]
+            audio = audio[:, :n]
+        return audio
 
     def _dispatch_block_locked(self):
         """Lower + dispatch one block WITHOUT waiting for the device (JAX
@@ -880,10 +898,14 @@ class Player:
         self._state, out = prog.step_packed(
             self._state, prog.packed_block_inputs(block_index))
         self._position += prog.ctx.block_frames
-        return (prog, out, t0, self._position)
+        # carry the host time spent dispatching (not a wall-clock start):
+        # in the pipelined pumps, other blocks' finish/write interleave
+        # between dispatch and finish, and must not count as OUR load
+        return (prog, out, time.perf_counter() - t0, self._position)
 
     def _finish_block_locked(self, pending) -> np.ndarray:
-        prog, out, t0, _pos_after = pending
+        prog, out, dispatch_dt, _pos_after = pending
+        t0 = time.perf_counter()
         audio, mixer_levels = out
         self._mixer_levels = {
             path: AudioLevel(np.asarray(pk), np.asarray(rm))
@@ -896,7 +918,10 @@ class Player:
                 self._panicked = True
                 if self.panic_handler is not None:
                     self.panic_handler("non-finite samples in master output")
-        dt = time.perf_counter() - t0
+        # active processing time for THIS block: host lowering/dispatch +
+        # materialization (device wait) — the analog of the reference's
+        # processing_time / rendered_audio_time (measured.rs:13-19)
+        dt = dispatch_dt + (time.perf_counter() - t0)
 
         if self.config.measure_cpu_load:
             load = dt / (prog.ctx.block_frames / prog.ctx.sample_rate)
@@ -946,12 +971,31 @@ class Player:
         for an explicit duration).  The analog of the reference's offline
         WavOutput loop (src/output/wav.rs:210-250)."""
         prog = self._ensure_program()
+        with self._control_lock:
+            tail, self._tail = self._tail, None
+        tail_len = 0 if tail is None else tail.shape[1]
         if duration_frames is None:
             duration_frames = prog.natural_duration_frames()
             if duration_frames is None:
                 raise PhonicError(
                     "graph has endless sources; pass duration_frames or use run_async"
                 )
+            duration_frames += tail_len  # natural duration counts from the
+            # engine position; the tail was rendered but not yet delivered
+        if duration_frames <= 0:
+            with self._control_lock:
+                self._tail = tail
+            return
+        # serve the tail left over from a previous non-aligned run first
+        if tail_len:
+            take = min(tail_len, duration_frames)
+            self.output.write(tail[:, :take])
+            if take < tail_len:
+                with self._control_lock:
+                    self._tail = tail[:, take:]
+            duration_frames -= take
+            if duration_frames == 0:
+                return
         end = self._position + duration_frames
         # depth-1 pipeline: block k+1 is lowered and dispatched (async)
         # before block k is materialized, so host lowering and the
@@ -967,8 +1011,13 @@ class Player:
                 audio = self._finish_block_locked(pending)
             excess = pending[3] - end
             if excess > 0:
-                audio = audio[:, : audio.shape[1] - excess]
-                self._position = end
+                # keep the over-rendered remainder: the engine state stays
+                # at the block boundary, so the next run/pump must deliver
+                # these frames before rendering anything new
+                valid = audio.shape[1] - excess
+                with self._control_lock:
+                    self._tail = audio[:, valid:]
+                audio = audio[:, :valid]
             self.output.write(audio)
             pending = nxt
 
@@ -978,6 +1027,10 @@ class Player:
         self._pump_stop.clear()
 
         def pump():
+            with self._control_lock:
+                tail, self._tail = self._tail, None
+            if tail is not None and tail.shape[1]:
+                self.output.write(tail)
             pending = None
             while not self._pump_stop.is_set():
                 with self._control_lock:

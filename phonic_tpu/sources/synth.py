@@ -197,10 +197,10 @@ class SynthSource(Source):
         # analytic exponential fade-in from start (synth.rs:41-44 fade_in
         # option; exponential fader semantics, src/utils/fader.rs:76-121)
         if opt.fade_in_secs > 0.0:
+            from .file import _host_fade_log1m
+
             k_in = (age + 1).astype(jnp.float32)
-            log1m_in = math.log1p(-(1.0 - math.exp(
-                -1.0 / max(ctx.sample_rate * opt.fade_in_secs / math.log(100.0), 1e-9)
-            )))
+            log1m_in = _host_fade_log1m(opt.fade_in_secs, ctx.sample_rate)
             up = 1.0 - jnp.exp(log1m_in * jnp.maximum(k_in, 0.0))
             audio = audio * jnp.where(
                 k_in > 0, jnp.where(up > 1.0 - 1e-4, 1.0, up), 0.0)[None, :]

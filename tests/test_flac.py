@@ -116,3 +116,38 @@ def test_native_decoder_matches_python():
         want = s2.read_at(12345, 4096)
         s2.close()
     np.testing.assert_array_equal(got, want)
+
+
+def test_streaminfo_unknown_total(tmp_path):
+    """STREAMINFO total_samples=0 is legal ("unknown", streaming encoders):
+    FlacStream must discover the true length with a forward pass instead of
+    rendering silence (regression: read_at's `decoded < total` loop never
+    decoded a frame when total was 0)."""
+    from phonic_tpu.io.flac import FlacStream
+
+    x = smooth_stereo(20000)
+    path = str(tmp_path / "unknown_total.flac")
+    write_flac(path, x, SR)
+    raw = bytearray(open(path, "rb").read())
+    # STREAMINFO: 4 (magic) + 4 (block hdr) + 13 bytes, then the 36-bit
+    # total spans the low 4 bits of byte 21 and bytes 22..25
+    raw[21] &= 0xF0
+    raw[22:26] = b"\x00\x00\x00\x00"
+    path2 = str(tmp_path / "zeroed_total.flac")
+    open(path2, "wb").write(bytes(raw))
+
+    s = FlacStream(path2)
+    assert s.total_frames == 20000
+    got = s.read_at(5000, 4096)
+    s.close()
+
+    ref, rsr = read_flac(path)
+    assert rsr == SR
+    np.testing.assert_array_equal(got, ref[:, 5000:9096])
+
+    # the chunked/streamed path sees the discovered length too
+    from phonic_tpu.io.chunked import open_chunked
+    r = open_chunked(path2)
+    assert r.frames == 20000
+    np.testing.assert_array_equal(r.read(5000, 4096), ref[:, 5000:9096])
+    r.close()

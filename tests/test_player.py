@@ -368,3 +368,107 @@ def test_run_async_stop_drains_pending_block(tmp_path):
     data, _ = read_wav(out_path)
     assert data.shape[-1] >= 4096
     assert np.isfinite(data).all() and np.abs(data).max() > 0
+
+
+def test_split_runs_match_single_run(tmp_path):
+    """Non-block-aligned run() calls chain seamlessly: the over-rendered
+    tail is delivered by the NEXT run instead of re-rendering mid-block
+    with desynced engine state (the engine itself only renders whole
+    blocks; the Player edge buffers the remainder)."""
+    def mk(output):
+        player = Player(output, PlayerConfig(block_frames=4096))
+        h = player.play_file(tone_buffer(), FilePlaybackOptions(
+            volume=0.7, speed=1.13))
+        h.set_volume(0.3, at=7000)
+        return player
+
+    one = WavOutput(tmp_path / "one.wav", SR, 2)
+    p1 = mk(one)
+    p1.run(duration_frames=15000)
+    one.close()
+
+    two = WavOutput(tmp_path / "two.wav", SR, 2)
+    p2 = mk(two)
+    delivered = 0
+    for n in (5000, 2500, 4000, 3500):  # same 15000, all mid-block
+        p2.run(duration_frames=n)
+        delivered += n
+        assert p2.position == delivered
+    two.close()
+
+    a, _ = read_wav(tmp_path / "one.wav")
+    b, _ = read_wav(tmp_path / "two.wav")
+    assert a.shape == b.shape == (2, 15000)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_run_zero_duration_is_noop(tmp_path):
+    out = WavOutput(tmp_path / "z.wav", SR, 2)
+    player = Player(out, PlayerConfig(block_frames=4096))
+    player.play_file(tone_buffer())
+    player.run(duration_frames=0)
+    assert player.position == 0
+    player.run(duration_frames=8192)
+    assert player.position == 8192
+    player.run(duration_frames=0)  # must not disturb the buffered stream
+    assert player.position == 8192
+    out.close()
+    audio, _ = read_wav(tmp_path / "z.wav")
+    assert audio.shape[1] == 8192
+
+
+def test_render_block_after_unaligned_run_is_contiguous():
+    """render_block() after a non-aligned run() returns the next
+    stream-contiguous window (tail first), not a desynced re-render."""
+    def mk():
+        player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=4096))
+        player.play_file(tone_buffer(), FilePlaybackOptions(speed=1.21))
+        return player
+
+    serial = mk()
+    want = np.concatenate([serial.render_block() for _ in range(4)], axis=-1)
+
+    mixed = mk()
+    # NullOutput keeps no audio; recapture writes
+    written = []
+    orig_write = mixed.output.write
+    mixed.output.write = lambda a: (written.append(np.asarray(a)), orig_write(a))
+    mixed.run(duration_frames=6000)
+    got = np.concatenate(written + [mixed.render_block(), mixed.render_block()],
+                         axis=-1)
+    np.testing.assert_array_equal(got, want[:, : got.shape[1]])
+    assert got.shape[1] == 6000 + 2 * 4096
+
+
+def test_output_suspended_tracks_device_state():
+    player = Player(NullOutput(SR, 2), PlayerConfig(block_frames=4096))
+    assert player.output_suspended is False
+    player.pause()
+    assert player.output_suspended is True
+    player.start()
+    assert player.output_suspended is False
+
+
+def test_run_async_after_unaligned_run_is_contiguous(tmp_path):
+    """The async pump serves the tail left by a prior non-aligned run()
+    before rendering anything new."""
+    import time as _time
+
+    serial = Player(NullOutput(SR, 2), PlayerConfig(block_frames=4096))
+    serial.play_file(tone_buffer(), FilePlaybackOptions(speed=1.21))
+    want = np.concatenate([serial.render_block() for _ in range(4)], axis=-1)
+
+    out_path = tmp_path / "tail_async.wav"
+    out = WavOutput(out_path, SR, 2)
+    player = Player(out, PlayerConfig(block_frames=4096))
+    player.play_file(tone_buffer(), FilePlaybackOptions(speed=1.21))
+    player.run(duration_frames=6000)
+    t = player.run_async()
+    _time.sleep(1.0)
+    player.stop()
+    t.join(timeout=15)
+    out.close()
+    got, _ = read_wav(out_path)
+    assert got.shape[1] >= 6000 + 4096  # pump made progress past the tail
+    n = min(got.shape[1], want.shape[1])
+    np.testing.assert_array_equal(got[:, :n], want[:, :n])

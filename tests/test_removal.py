@@ -139,3 +139,28 @@ def test_retirement_respects_kill_schedule():
     assert not h.is_playing()
     player.render_block()  # retirement pass runs at block end
     assert h._node not in player.main_mixer.sources
+
+
+def test_batched_effect_tail_survives_sibling_removal():
+    """An effect whose silence-age previously lived in a BATCH matrix must
+    resume with age 0 after a rebuild makes it unbatched: removing its
+    sibling mid-tail must not freeze the surviving, still-ringing tail
+    behind the aged-out init sentinel (adopt() bypass-age carry)."""
+    from phonic_tpu.effects.delay import DelayEffect
+
+    player = make_player(auto_retire_sources=False)
+    subs = [player.add_mixer() for _ in range(2)]
+    for k, sub in enumerate(subs):
+        sub.add_effect(DelayEffect(delay_ms=30.0, feedback=0.7, wet=1.0))
+        player.play_file(tone_buffer(4 * BLOCK, freq=220.0 * (k + 1)),
+                         FilePlaybackOptions(fade_out_secs=0.0),
+                         mixer=sub.mixer)
+    prog = player._ensure_program()
+    assert prog.effect_batches, "sibling delay chains were not batched"
+    for _ in range(6):  # tones end at block 4; feedback tail keeps ringing
+        player.render_block()
+    assert np.abs(player.render_block()).max() > 1e-4  # tail audible
+
+    player.remove_mixer(subs[1].mixer)  # survivor becomes unbatched
+    post = np.concatenate([player.render_block() for _ in range(3)], axis=-1)
+    assert np.abs(post).max() > 1e-4, "surviving tail was frozen/bypassed"
