@@ -176,14 +176,15 @@ class Sampler(Generator):
         """LeafBatch stacking hook: zero-pad each lane's sample buffer to
         the group's longest (the live length rides in as the traced
         `_buf_frames` input, so mixed-length banks share one trace)."""
-        fmax = max(s.buffer.frames for s in nodes)
         out = []
-        for st in states:
+        bufs = [np.asarray(st["buf"]) for st in states]
+        rmax = max(b.shape[0] for b in bufs)  # [R, 128, ch] mm-packed rows
+        for st, buf in zip(states, bufs):
             st = dict(st)
-            buf = np.asarray(st["buf"])
-            pad = fmax + 1 - buf.shape[1]
+            pad = rmax - buf.shape[0]
             if pad > 0:
-                buf = np.pad(buf, ((0, 0), (0, pad)))
+                # extra zero rows == mm_pack of the zero-padded planar buffer
+                buf = np.pad(buf, ((0, pad), (0, 0), (0, 0)))
             st["buf"] = jnp.asarray(buf)
             out.append(st)
         return out
@@ -541,9 +542,11 @@ class Sampler(Generator):
         st = {
             "base": jnp.zeros((v,), jnp.int32),
             "frac": jnp.zeros((v,), jnp.float32),
-            # device-resident sample data (see FileSource.init_state)
+            # device-resident sample data (see FileSource.init_state);
+            # mm-packed for the gather-free MXU read (ops/resample.py)
             "buf": (jnp.asarray(self._mono_buffer(ctx.sample_rate))
-                    if self.granular is not None else jnp.asarray(self.buffer.data)),
+                    if self.granular is not None
+                    else jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))),
         }
         if self.granular is not None:
             one = grain_state_init()
@@ -604,7 +607,7 @@ class Sampler(Generator):
             """Render one lane: positions [n] (source frames), age [n] runs,
             rel scalar (runs since note start), mask [n]."""
             p, live = fold(pos)
-            audio = rs.hermite_read(buf, p)  # [ch_in, n]
+            audio = rs.hermite_read_mm(buf, p)  # [ch_in, n]
             mono = jnp.mean(audio, axis=0) if self.buffer.channels > 1 else audio[0]
             if self.buffer.channels >= 2 and ctx.channels >= 2:
                 sig = jnp.stack([audio[0], audio[1]])

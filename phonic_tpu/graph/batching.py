@@ -90,8 +90,13 @@ class FileBatch:
             # per-source sinc tables share one (conservative) cutoff
             max_r = max(float(r * s.options.speed) for r, s in zip(self.ratio, sources))
             self.sinc = rs.sinc_table(cutoff=min(1.0, 1.0 / max(max_r, 1.0)))
+            self.buffers_mm = None
         else:
             self.sinc = None
+            # MXU one-hot packing: per-element gathers run at scalar rate on
+            # this backend (~25 ms/source/131072-block); hermite_read_mm is
+            # ~an order of magnitude cheaper (ops/resample.py)
+            self.buffers_mm = rs.mm_pack(bufs)
 
     def init_state(self):
         s = len(self.sources)
@@ -99,7 +104,8 @@ class FileBatch:
             "base": jnp.zeros((s,), jnp.int32),
             "frac": jnp.zeros((s,), jnp.float32),
             "frac_lo": jnp.zeros((s,), jnp.float32),
-            "buf": jnp.asarray(self.buffers),
+            "buf": (jnp.asarray(self.buffers) if self.buffers_mm is None
+                    else jnp.asarray(self.buffers_mm)),
         }
         # per-lane metadata and the sinc table ride in the state pytree:
         # embedded jaxpr constants are re-staged to the device per execution
@@ -190,7 +196,7 @@ class FileBatch:
             if self.sinc is not None:
                 audio = rs.sinc_read(buf, pos, sinc_tbl)
             else:
-                audio = rs.hermite_read(buf, pos)
+                audio = rs.hermite_read_mm(buf, pos)  # buf is mm-packed
             audio = audio * mask[None, :]
             # channel remap (static per group)
             if self.channels_in == 1:

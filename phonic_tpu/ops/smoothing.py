@@ -133,15 +133,22 @@ def exp_smoother_block(
         seg_step, (state.current,), (seg_target, seg_len, is_event), unroll=True
     )
 
-    # Per-sample evaluation.
-    idx = jnp.arange(n, dtype=jnp.int32)
-    seg_of = jnp.searchsorted(seg_start, idx, side="right") - 1
-    j = (idx - seg_start[seg_of]).astype(jnp.float32)  # local index
-    c0 = seg_cur0[seg_of]
-    tgt = seg_tgt[seg_of]
-    nf = seg_nfreeze[seg_of]
-    ramped = tgt + (c0 - tgt) * jnp.exp(log1ma * (j + 1.0))
-    out = jnp.where(j + 1.0 <= nf, ramped, tgt)
+    # Per-sample evaluation as a sum of K statically-indexed segment terms:
+    # pure elementwise VPU work.  (searchsorted + per-sample gathers are
+    # pathologically slow on this TPU backend — measured ~7 ms per parameter
+    # per 131072-frame block, dominating whole-graph render time.)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    segs = seg_start.astype(jnp.float32)
+    seg_end = jnp.concatenate(
+        [seg_start[1:], jnp.array([n], jnp.int32)]).astype(jnp.float32)
+    out = jnp.zeros((n,), jnp.float32)
+    for s in range(seg_start.shape[0]):  # static unroll, K is small
+        j1 = idx - segs[s] + 1.0  # j + 1 for this segment's local index
+        mask = (j1 > 0.0) & (idx < seg_end[s])
+        ramped = seg_tgt[s] + (seg_cur0[s] - seg_tgt[s]) * jnp.exp(
+            log1ma * jnp.maximum(j1, 0.0))
+        val = jnp.where(j1 <= seg_nfreeze[s], ramped, seg_tgt[s])
+        out = out + jnp.where(mask, val, 0.0)
 
     final_steps = jnp.minimum(seg_len[-1].astype(jnp.float32), seg_nfreeze[-1])
     final_cur = seg_tgt[-1] + (seg_cur0[-1] - seg_tgt[-1]) * jnp.exp(log1ma * final_steps)
@@ -220,15 +227,18 @@ def lin_smoother_block(
         unroll=True,
     )
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    seg_of = jnp.searchsorted(seg_start, idx, side="right") - 1
-    j = (idx - seg_start[seg_of]).astype(jnp.float32)
-    c0 = seg_cur0[seg_of]
-    tgt = seg_tgt[seg_of]
-    pend = seg_pending[seg_of]
-    sstep = seg_sgnstep[seg_of]
-    ramped = c0 + sstep * (j + 1.0)
-    out = jnp.where(j + 1.0 < pend, ramped, tgt)
+    # Gather-free per-sample evaluation (see exp_smoother_block).
+    idx = jnp.arange(n, dtype=jnp.float32)
+    segs = seg_start.astype(jnp.float32)
+    seg_end = jnp.concatenate(
+        [seg_start[1:], jnp.array([n], jnp.int32)]).astype(jnp.float32)
+    out = jnp.zeros((n,), jnp.float32)
+    for s in range(seg_start.shape[0]):  # static unroll, K is small
+        j1 = idx - segs[s] + 1.0
+        mask = (j1 > 0.0) & (idx < seg_end[s])
+        ramped = seg_cur0[s] + seg_sgnstep[s] * j1
+        val = jnp.where(j1 < seg_pending[s], ramped, seg_tgt[s])
+        out = out + jnp.where(mask, val, 0.0)
 
     new_state = LinSmootherState(
         current=cur_end, target=seg_tgt[-1], step=step_end, pending=pend_end
@@ -330,15 +340,20 @@ def spring_smoother_block(
         seg_step, (state.velocity, state.current), (seg_target, seg_len), unroll=True
     )
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    seg_of = jnp.searchsorted(seg_start, idx, side="right") - 1
-    j = (idx - seg_start[seg_of]).astype(jnp.float32)
-    v0 = seg_v0[seg_of]
-    e0 = seg_e0[seg_of]
-    tgt = seg_tgt[seg_of]
-    v_j, e_j = mat_pow_apply(j + 1.0, v0, e0)
-    settled = (jnp.abs(v_j) <= SMOOTHER_EPSILON) & (jnp.abs(e_j) <= SMOOTHER_EPSILON)
-    out = jnp.where(settled, tgt, tgt + e_j)
+    # Gather-free per-sample evaluation (see exp_smoother_block).
+    idx = jnp.arange(n, dtype=jnp.float32)
+    segs = seg_start.astype(jnp.float32)
+    seg_end = jnp.concatenate(
+        [seg_start[1:], jnp.array([n], jnp.int32)]).astype(jnp.float32)
+    out = jnp.zeros((n,), jnp.float32)
+    for s in range(seg_start.shape[0]):  # static unroll, K is small
+        j1 = idx - segs[s] + 1.0
+        mask = (j1 > 0.0) & (idx < seg_end[s])
+        v_j, e_j = mat_pow_apply(jnp.maximum(j1, 0.0), seg_v0[s], seg_e0[s])
+        settled = (jnp.abs(v_j) <= SMOOTHER_EPSILON) & (
+            jnp.abs(e_j) <= SMOOTHER_EPSILON)
+        val = jnp.where(settled, seg_tgt[s], seg_tgt[s] + e_j)
+        out = out + jnp.where(mask, val, 0.0)
 
     new_state = SpringSmootherState(current=c_end, velocity=v_end, target=seg_tgt[-1])
     return new_state, out

@@ -164,7 +164,11 @@ class FileSource(Source):
             "base": jnp.zeros((), jnp.int32),
             "frac": jnp.zeros((), jnp.float32),
             "frac_lo": jnp.zeros((), jnp.float32),
-            "buf": jnp.asarray(self.buffer.data),
+            # mm-packed for the gather-free MXU read (ops/resample.py); the
+            # sinc path keeps the planar layout for its windowed FIR
+            "buf": (jnp.asarray(self.buffer.data)
+                    if self.options.resampling_quality == "high"
+                    else jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))),
         }
         if self.options.resampling_quality == "high":
             ratio = self.buffer.sample_rate / ctx.sample_rate
@@ -257,12 +261,12 @@ class FileSource(Source):
         fki, ffr, live = self._fold(ki, fr)
         mask = (active & live).astype(jnp.float32)
 
-        buf = state["buf"]  # [ch, frames+1] (guard frame)
+        buf = state["buf"]  # planar [ch, frames+1] (HQ) or mm-packed (default)
         pos = fki.astype(jnp.float32) + ffr
         if self.options.resampling_quality == "high":
             audio = rs.sinc_read(buf, pos, state["sinc"])
         else:
-            audio = rs.hermite_read(buf, pos)
+            audio = rs.hermite_read_mm(buf, pos)
         audio = audio * mask[None, :]
         audio = remap_channels(audio, ctx.channels)
 
