@@ -33,3 +33,8 @@ class ParameterError(PhonicError):
 
 class SendError(PhonicError):
     """Control message could not be delivered (reference: Error::SendError)."""
+
+
+class CheckpointError(PhonicError):
+    """Render-state snapshot does not match the program resuming it
+    (no reference analog: checkpointing is beyond the reference's scope)."""

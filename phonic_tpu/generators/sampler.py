@@ -175,16 +175,23 @@ class Sampler(Generator):
     def batch_pad_states(nodes, states):
         """LeafBatch stacking hook: zero-pad each lane's sample buffer to
         the group's longest (the live length rides in as the traced
-        `_buf_frames` input, so mixed-length banks share one trace)."""
+        `_buf_frames` input, so mixed-length banks share one trace).
+        Buffers are mm-packed [R, 128, ch] or planar [ch, F] (long-buffer
+        gather fallback); the group key pins the format, so a group is
+        never mixed."""
         out = []
         bufs = [np.asarray(st["buf"]) for st in states]
-        rmax = max(b.shape[0] for b in bufs)  # [R, 128, ch] mm-packed rows
+        packed = bufs[0].ndim == 3  # [R, 128, ch] mm rows vs planar [ch, F]
+        axis = 0 if packed else bufs[0].ndim - 1
+        nmax = max(b.shape[axis] for b in bufs)
         for st, buf in zip(states, bufs):
             st = dict(st)
-            pad = rmax - buf.shape[0]
+            pad = nmax - buf.shape[axis]
             if pad > 0:
-                # extra zero rows == mm_pack of the zero-padded planar buffer
-                buf = np.pad(buf, ((0, pad), (0, 0), (0, 0)))
+                # extra zero rows/frames == packing of the zero-padded buffer
+                width = [(0, 0)] * buf.ndim
+                width[axis] = (0, pad)
+                buf = np.pad(buf, width)
             st["buf"] = jnp.asarray(buf)
             out.append(st)
         return out
@@ -203,6 +210,11 @@ class Sampler(Generator):
             self.buffer.sample_rate,
             self.buffer.loop_mode,
             round(self.options.fade_out_secs, 9),
+            # read-path format must be group-static (mm-packed vs planar
+            # gather fallback), and the coarse length bucket bounds the
+            # zero-padding waste of mixed-length banks (ops/resample.py)
+            rs.use_mm(self.buffer.frames),
+            rs.length_bucket(self.buffer.frames),
         )
 
     def with_ahdsr(self, attack=0.01, hold=0.0, decay=0.0, sustain=1.0,
@@ -543,10 +555,13 @@ class Sampler(Generator):
             "base": jnp.zeros((v,), jnp.int32),
             "frac": jnp.zeros((v,), jnp.float32),
             # device-resident sample data (see FileSource.init_state);
-            # mm-packed for the gather-free MXU read (ops/resample.py)
+            # mm-packed for the gather-free MXU read (ops/resample.py) unless
+            # the buffer is long enough that the gather wins (rs.use_mm)
             "buf": (jnp.asarray(self._mono_buffer(ctx.sample_rate))
                     if self.granular is not None
-                    else jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))),
+                    else jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))
+                    if rs.use_mm(self.buffer.frames)
+                    else jnp.asarray(self.buffer.data)),
         }
         if self.granular is not None:
             one = grain_state_init()
@@ -607,7 +622,10 @@ class Sampler(Generator):
             """Render one lane: positions [n] (source frames), age [n] runs,
             rel scalar (runs since note start), mask [n]."""
             p, live = fold(pos)
-            audio = rs.hermite_read_mm(buf, p)  # [ch_in, n]
+            if rs.use_mm(self.buffer.frames):
+                audio = rs.hermite_read_mm(buf, p)  # [ch_in, n]
+            else:  # long buffer: O(n) gather beats the O(R) one-hot matmul
+                audio = rs.hermite_read(buf, p)
             mono = jnp.mean(audio, axis=0) if self.buffer.channels > 1 else audio[0]
             if self.buffer.channels >= 2 and ctx.channels >= 2:
                 sig = jnp.stack([audio[0], audio[1]])

@@ -42,6 +42,10 @@ def group_key(src: FileSource, ctx):
         src.options.resampling_quality,
         src.options.fade_in_secs > 0.0,
         src.options.fade_out_secs > 0.0,
+        # coarse length bucket: every lane zero-pads to the group's longest
+        # buffer, so mixing a 3-minute lane with 1-second lanes would
+        # multiply memory/FLOPs across the whole group (ops/resample.py)
+        rs.length_bucket(src.buffer.frames),
     )
 
 
@@ -91,12 +95,15 @@ class FileBatch:
             max_r = max(float(r * s.options.speed) for r, s in zip(self.ratio, sources))
             self.sinc = rs.sinc_table(cutoff=min(1.0, 1.0 / max(max_r, 1.0)))
             self.buffers_mm = None
-        else:
+        elif rs.use_mm(fmax + 1):
             self.sinc = None
             # MXU one-hot packing: per-element gathers run at scalar rate on
             # this backend (~25 ms/source/131072-block); hermite_read_mm is
             # ~an order of magnitude cheaper (ops/resample.py)
             self.buffers_mm = rs.mm_pack(bufs)
+        else:  # long buffers: the O(n) gather beats the O(R) one-hot matmul
+            self.sinc = None
+            self.buffers_mm = None
 
     def init_state(self):
         s = len(self.sources)
@@ -195,8 +202,10 @@ class FileBatch:
             pos = fki.astype(jnp.float32) + ffr
             if self.sinc is not None:
                 audio = rs.sinc_read(buf, pos, sinc_tbl)
-            else:
+            elif self.buffers_mm is not None:
                 audio = rs.hermite_read_mm(buf, pos)  # buf is mm-packed
+            else:  # long-buffer group: planar gather (rs.use_mm threshold)
+                audio = rs.hermite_read(buf, pos)
             audio = audio * mask[None, :]
             # channel remap (static per group)
             if self.channels_in == 1:

@@ -155,6 +155,24 @@ void consumer_loop(Ring* r) {
 
 extern "C" {
 
+// Negotiated device sample format (after ph_ring_create_dev):
+// 14 = FLOAT_LE, 10 = S32_LE, 2 = S16_LE (ALSA snd_pcm_format_t values).
+int ph_ring_format(void* handle) {
+    Ring* r = (Ring*)handle;
+    return r->use_alsa ? r->alsa_format : SND_PCM_FORMAT_FLOAT_LE;
+}
+
+// Sample-format conversion exports (the reference dispatches i8..f64 with
+// an f32 fast path, src/output/cpal.rs:509-561).  Exposed standalone so the
+// conversion path is unit-testable without sound hardware.
+void ph_convert_f32_to_s16(const float* in, int16_t* out, uint32_t n) {
+    for (uint32_t i = 0; i < n; ++i) out[i] = f32_to_s16(in[i]);
+}
+
+void ph_convert_f32_to_s32(const float* in, int32_t* out, uint32_t n) {
+    for (uint32_t i = 0; i < n; ++i) out[i] = f32_to_s32(in[i]);
+}
+
 int ph_alsa_available() {
     AlsaApi api;
     bool ok = api.load();

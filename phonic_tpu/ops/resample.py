@@ -88,6 +88,35 @@ def catmull_rom_read(buf, positions, fill=0.0):
 
 MM_PAD_LEFT = 4  # zero frames packed before sample 0 (covers taps of pos>=-4)
 
+# The per-chunk one-hot is a materialized [chunk, R-1] f32 matrix and the
+# two row-matmuls are linear in R, while the gather it replaces is O(n) in
+# positions and independent of buffer length — so above a row threshold the
+# matmul loses (and its transients grow unboundedly: R~62k for a 3-minute
+# 44.1 kHz file would mean ~0.5 GB per 2048-chunk).  Break-even from the
+# measured costs on this backend (gather ~9 ms / 131072 positions;
+# mm ~1 ms at R=376): R ~ 3000.
+MM_MAX_ROWS = 3072  # ~8.2 s of 48 kHz audio
+
+
+def mm_rows(frames: int, pad_left: int = MM_PAD_LEFT) -> int:
+    """Packed row count :func:`mm_pack` produces for a ``frames``-long buffer."""
+    return -(-(pad_left + int(frames)) // 128) + 1
+
+
+def use_mm(frames: int) -> bool:
+    """Whether the gather-free MXU read pays off for this buffer length
+    (callers fall back to :func:`hermite_read` above the threshold)."""
+    return mm_rows(frames) <= MM_MAX_ROWS
+
+
+def length_bucket(frames: int) -> int:
+    """Coarse log2 length bucket for batch grouping: lanes in a group
+    zero-pad to the group's longest buffer, so grouping a minutes-long lane
+    with one-second lanes would multiply memory/FLOPs across the group.
+    Everything under 64k frames (~1.4 s @ 48 kHz — where padding is cheap)
+    shares bucket 0; beyond that, log2 buckets bound the waste to <2x."""
+    return max(int(frames).bit_length() - 16, 0)
+
 
 def mm_pack(buf, pad_left: int = MM_PAD_LEFT):
     """Host-side packing for :func:`hermite_read_mm`.

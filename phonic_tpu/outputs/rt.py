@@ -58,7 +58,45 @@ def _load_lib():
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
         ctypes.c_char_p,
     ]
+    lib.ph_ring_format.restype = ctypes.c_int
+    lib.ph_ring_format.argtypes = [ctypes.c_void_p]
+    lib.ph_convert_f32_to_s16.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_uint32]
+    lib.ph_convert_f32_to_s32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_uint32]
     return lib
+
+
+# ALSA snd_pcm_format_t values the bridge negotiates (FLOAT first, then the
+# integer fallbacks real devices offer; reference dispatches i8..f64 with an
+# f32 fast path, src/output/cpal.rs:509-561)
+_FORMAT_NAMES = {14: "f32", 10: "i32", 2: "i16"}
+
+
+def convert_f32(block: np.ndarray, fmt: str) -> np.ndarray:
+    """Run the native sample-format conversion (consumer-thread code path)
+    on host data — unit-testable without sound hardware.  ``fmt`` is one of
+    "f32", "i32", "i16"."""
+    lib = _load_lib()
+    if lib is None:
+        raise OutputDeviceError("native realtime bridge unavailable")
+    flat = np.ascontiguousarray(np.asarray(block, np.float32)).reshape(-1)
+    src = flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    if fmt == "f32":
+        return flat.copy()
+    if fmt == "i16":
+        out = np.empty(flat.shape, np.int16)
+        lib.ph_convert_f32_to_s16(
+            src, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), flat.size)
+        return out
+    if fmt == "i32":
+        out = np.empty(flat.shape, np.int32)
+        lib.ph_convert_f32_to_s32(
+            src, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), flat.size)
+        return out
+    raise OutputDeviceError(f"unknown sample format {fmt!r}")
 
 
 def rt_available() -> bool:
@@ -89,7 +127,36 @@ def alsa_available() -> bool:
     return bool(lib and lib.ph_alsa_available())
 
 
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass
+class RtOutputConfig:
+    """Device selection + negotiation knobs, mirroring the reference's
+    CpalOutputConfig (src/output/cpal.rs:76-86): driver is implicit (ALSA is
+    the one Linux backend the bridge speaks), device picks a PCM by name,
+    sample_rate/buffer_size None = preferred defaults (44100 preferred like
+    cpal.rs:32-34; the bridge defaults to 48000 to match EngineConfig)."""
+    device: str = ""                       # "" = driver default PCM
+    sample_rate: Optional[int] = None      # None = preferred (48000)
+    channels: int = 2
+    buffer_size: Optional[int] = None      # frames; None = 0.25 s
+    try_alsa: bool = True
+
+
 class RtOutput(OutputDevice):
+    @classmethod
+    def open_with_config(cls, config: RtOutputConfig) -> "RtOutput":
+        """Open from a config struct (reference:
+        CpalOutput::open_with_config, src/output/cpal.rs:110-117)."""
+        sr = config.sample_rate or 48000
+        buffer_secs = (config.buffer_size / sr if config.buffer_size
+                       else 0.25)
+        return cls(sample_rate=sr, channels=config.channels,
+                   buffer_secs=buffer_secs, try_alsa=config.try_alsa,
+                   device=config.device)
+
     def __init__(self, sample_rate: int = 48000, channels: int = 2,
                  buffer_secs: float = 0.25, try_alsa: bool = True,
                  device: str = ""):
@@ -124,6 +191,14 @@ class RtOutput(OutputDevice):
     @property
     def uses_alsa(self) -> bool:
         return bool(self._lib.ph_ring_uses_alsa(self._handle))
+
+    @property
+    def sample_format(self) -> str:
+        """Negotiated device sample format ("f32"/"i32"/"i16"): FLOAT_LE is
+        tried first, then S32_LE, then S16_LE (src/output/cpal.rs:509-561's
+        dispatch, narrowed to the formats real ALSA devices offer)."""
+        return _FORMAT_NAMES.get(
+            int(self._lib.ph_ring_format(self._handle)), "f32")
 
     def space_frames(self) -> int:
         return int(self._lib.ph_ring_space(self._handle))

@@ -63,6 +63,14 @@ def graph_state_shardings(program: RenderProgram, mesh: Mesh,
         g: [tree(pi, inner if len(program.effect_batches[g]["effects"])
                  % n_shards == 0 else repl) for pi in v]
         for g, v in st["effect_batches"].items()}
+    # generator pools (vmapped Sampler/Synth/Streamed lane banks): every
+    # leaf is stacked with a leading group-lane axis (LeafBatch.init_state),
+    # so the lane axis shards exactly like file_batches when the mesh
+    # divides it; otherwise the pool stays replicated (correct, just unsplit)
+    out["gen_batches"] = {
+        g: tree(v, inner if len(program.gen_batches[g].paths) % n_shards == 0
+                else repl)
+        for g, v in st.get("gen_batches", {}).items()}
     return out
 
 

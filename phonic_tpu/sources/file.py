@@ -165,10 +165,13 @@ class FileSource(Source):
             "frac": jnp.zeros((), jnp.float32),
             "frac_lo": jnp.zeros((), jnp.float32),
             # mm-packed for the gather-free MXU read (ops/resample.py); the
-            # sinc path keeps the planar layout for its windowed FIR
-            "buf": (jnp.asarray(self.buffer.data)
-                    if self.options.resampling_quality == "high"
-                    else jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))),
+            # sinc path keeps the planar layout for its windowed FIR, as do
+            # buffers long enough that the one-hot matmul would lose to the
+            # gather (rs.use_mm threshold)
+            "buf": (jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))
+                    if self.options.resampling_quality != "high"
+                    and rs.use_mm(self.buffer.frames)
+                    else jnp.asarray(self.buffer.data)),
         }
         if self.options.resampling_quality == "high":
             ratio = self.buffer.sample_rate / ctx.sample_rate
@@ -265,8 +268,10 @@ class FileSource(Source):
         pos = fki.astype(jnp.float32) + ffr
         if self.options.resampling_quality == "high":
             audio = rs.sinc_read(buf, pos, state["sinc"])
-        else:
+        elif rs.use_mm(self.buffer.frames):
             audio = rs.hermite_read_mm(buf, pos)
+        else:  # long buffer: the O(n) gather beats the O(R) one-hot matmul
+            audio = rs.hermite_read(buf, pos)
         audio = audio * mask[None, :]
         audio = remap_channels(audio, ctx.channels)
 

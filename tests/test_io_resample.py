@@ -128,6 +128,79 @@ def test_hermite_read_matches_oracle():
     np.testing.assert_allclose(got, expected, atol=1e-5)
 
 
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("frames", [127, 256, 391])
+def test_hermite_read_mm_matches_hermite_read(channels, frames):
+    """The gather-free MXU formulation must agree with the gather path for
+    odd lengths, out-of-range positions (negative / past-end), and both
+    channel layouts (ADVICE r3: all three playback paths depend on it)."""
+    rng = np.random.default_rng(7)
+    buf = rng.normal(size=(channels, frames)).astype(np.float32)
+    pos = np.concatenate([
+        np.sort(rng.uniform(-6, frames + 6, 300)),
+        np.array([-4.0, -1.0, -0.5, 0.0, frames - 1.0, frames - 0.5,
+                  float(frames), frames + 3.0]),
+    ]).astype(np.float32)
+    want = np.asarray(resample.hermite_read(jnp.asarray(buf), jnp.asarray(pos)))
+    packed = resample.mm_pack(buf)
+    got = np.asarray(resample.hermite_read_mm(jnp.asarray(packed),
+                                              jnp.asarray(pos), chunk=64))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_hermite_read_mm_under_vmap():
+    import jax
+    rng = np.random.default_rng(11)
+    lanes, frames = 3, 200
+    bufs = rng.normal(size=(lanes, 1, frames)).astype(np.float32)
+    pos = rng.uniform(-3, frames + 3, (lanes, 128)).astype(np.float32)
+    packed = np.stack([resample.mm_pack(b) for b in bufs])
+    got = np.asarray(jax.vmap(
+        lambda b, p: resample.hermite_read_mm(b, p, chunk=64))(
+            jnp.asarray(packed), jnp.asarray(pos)))
+    want = np.stack([
+        np.asarray(resample.hermite_read(jnp.asarray(bufs[i]),
+                                         jnp.asarray(pos[i])))
+        for i in range(lanes)])
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_use_mm_threshold():
+    assert resample.use_mm(48000)
+    assert not resample.use_mm(resample.MM_MAX_ROWS * 128 + 1)
+    # boundary: exactly at the threshold row count still uses mm
+    f_edge = (resample.MM_MAX_ROWS - 1) * 128 - resample.MM_PAD_LEFT
+    assert resample.use_mm(f_edge)
+    assert not resample.use_mm(f_edge + 1)
+
+
+def test_long_buffer_file_source_matches_short_path():
+    """A FileSource over the rs.use_mm threshold renders through the planar
+    gather; its output must match the mm path bit-for-bit where both read
+    the same samples (same DSP, different read kernel: tolerance 2e-5)."""
+    import jax
+    from phonic_tpu import (EngineConfig, FilePlaybackOptions, FileSource,
+                            Mixer, RenderProgram)
+    frames = (resample.MM_MAX_ROWS + 4) * 128  # above threshold
+    rng = np.random.default_rng(5)
+    sig = (0.2 * rng.normal(size=frames)).astype(np.float32)
+    long_buf = AudioFileBuffer.from_array(sig[None, :], 48000)
+    src = FileSource(long_buf, FilePlaybackOptions(speed=1.31, repeat=None,
+                                                   fade_out_secs=0.0))
+    assert not resample.use_mm(long_buf.frames)
+    m = Mixer("main")
+    m.add_source(src)
+    prog = RenderProgram(m, EngineConfig(sample_rate=48000, block_frames=512))
+    st = prog.init_state()
+    st, audio = prog.step_packed(st, prog.packed_block_inputs(0))
+    got = np.asarray(audio)[0]
+    pos = (np.arange(512) * 1.31).astype(np.float32)
+    want = hermite_oracle(sig.astype(np.float64), pos)
+    # volume 1, centre pan (unity), mono->stereo duplication: gain 1.0
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_hermite_exact_at_integers():
     buf = np.arange(32, dtype=np.float32)
     pos = jnp.arange(1, 30, dtype=jnp.float32)

@@ -132,6 +132,54 @@ def test_seek_and_waveform_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(y2b))
 
 
+def test_checkpoint_resume_across_rebuild_and_mismatch(tmp_path):
+    """Checkpoint mid-render, rebuild the same topology, adopt, resume: the
+    continuation must bit-match an uninterrupted render.  Resuming into a
+    structurally different program must raise CheckpointError (VERDICT r3
+    #6), not an opaque tree error inside jit."""
+    from phonic_tpu import checkpoint
+    from phonic_tpu import Mixer, RenderProgram, EngineConfig, FileSource
+    from phonic_tpu.effects.gain import GainEffect
+    from phonic_tpu.errors import CheckpointError
+
+    def build(extra_effect=False, block=2048):
+        ramp = AudioFileBuffer.from_array(
+            np.linspace(0, 1, 48000, dtype=np.float32)[None, :], SR)
+        m = Mixer("main")
+        # explicit names: auto-named nodes get process-global sequence
+        # numbers, so a rebuild would produce different state paths (resume
+        # across rebuilds requires deterministic names)
+        m.add_source(FileSource(ramp, FilePlaybackOptions(fade_out_secs=0.0),
+                                name="src"))
+        if extra_effect:
+            m.add_effect(GainEffect(gain=0.5, name="g"))
+        return RenderProgram(m, EngineConfig(sample_rate=SR,
+                                             block_frames=block))
+
+    prog = build()
+    state = prog.init_state()
+    state, _ = prog._jit_step(state, prog.block_inputs(0))
+    checkpoint.save_state(state, tmp_path / "ckpt.pkl", program=prog)
+    state, y1 = prog._jit_step(state, prog.block_inputs(1))
+
+    # resume into a freshly-built identical program
+    prog2 = build()
+    resumed = checkpoint.load_state(tmp_path / "ckpt.pkl", program=prog2)
+    resumed = prog2.adopt(prog, resumed)
+    _, y1b = prog2._jit_step(resumed, prog2.block_inputs(1))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1b))
+
+    # topology drift -> clear error
+    prog3 = build(extra_effect=True)
+    with pytest.raises(CheckpointError, match="topology|structure"):
+        checkpoint.load_state(tmp_path / "ckpt.pkl", program=prog3)
+
+    # config drift (block size) -> clear error
+    prog4 = build(block=4096)
+    with pytest.raises(CheckpointError):
+        checkpoint.load_state(tmp_path / "ckpt.pkl", program=prog4)
+
+
 def test_nan_guard_silences_and_reports():
     from phonic_tpu.sources.synth import SynthDef, SynthPlaybackOptions
     import jax.numpy as jnp
