@@ -10,10 +10,16 @@ blend/regen/cutoff derive from it (:408-420); two parameters only
 (ROOM_SIZE, WET).
 
 TPU formulation: the three lowpass biquads run as whole-block parallel
-scans; each allpass is its own sub-block feedback scan (w[n] = x[n] -
-0.5*w[n-d]); the 8 FDN lines batch into [8, 2, S] arrays processed by one
-sub-block scan (reads are vectorised gathers with per-line modulo periods,
-the cross-line feedback matrix is an elementwise group-sum).
+scans; the four allpasses chain inside one sub-block feedback scan (w[n] =
+x[n] - 0.5*w[n-d]); the 8 FDN lines batch into one sub-block scan.  All
+delay-line storage uses an ABSOLUTE-TIME block buffer (history ++ this
+block's writes), so writes are one contiguous dynamic_update_slice per
+step and reads are contiguous dynamic_slice windows — no modulo rings, no
+per-element gathers or scatters (which execute at scalar rate on this
+backend, round-4 profiling: the gathered FDN was ~90 ms/131072-frame
+block; this formulation is a few ms).  The fractional vibrato read
+resolves through a 15-way shift-select over the window (offset range is
+[0, 2*VIB_DEPTH]), which picks the exact same f32 values a gather would.
 
 Note on feedback latency: the reference calls step() (count advance +
 vibrato) between set() and get(), so reads always target slots written at
@@ -108,16 +114,16 @@ class ReverbEffect(Effect):
         # (the recirculating FDN amplifies 1e-7 phase deltas to ~-70 dB)
         vib_phase = rng.uniform(0.0, 2.0 * math.pi, size=(8, 2)).astype(
             np.float32).astype(dt)
+        # all delay buffers are chronological history windows (newest sample
+        # last), NOT rings: process() concatenates them with the block's
+        # writes so every read is a contiguous dynamic_slice
         return {
-            # the predelay ring must hold a full block plus the max predelay
-            "pre": ring_ops.ring_init(2, _PRE_MAX + ctx.block_frames, dtype=dt),
+            "pre": jnp.zeros((2, _PRE_MAX), dt),
             "bq_a": filters.tpt_state_init((2,), dtype=dt),
             "bq_b": filters.tpt_state_init((2,), dtype=dt),
             "bq_c": filters.tpt_state_init((2,), dtype=dt),
             "ap_buf": jnp.zeros((4, 2, _AP_BUF), dt),
-            "ap_pos": jnp.zeros((4,), jnp.int32),
             "line_buf": jnp.zeros((8, 2, _LINE_BUF), dt),
-            "line_count": jnp.ones((8,), jnp.int32),
             "vib_phase": jnp.asarray(vib_phase),
             "fb": jnp.zeros((8, 2), dt),
         }
@@ -183,11 +189,13 @@ class ReverbEffect(Effect):
         predelay = (jnp.float32(_PRE_FACTOR) * size0).astype(jnp.int32)
 
         # ---- predelay (write-then-read integer delay) + biquad A + sin -----
-        pre = ring_ops.ring_write_block(state["pre"], x)
-        # after writing the block, sample i sits at offset n - i from wpos;
-        # read i at delay p: offset = n - i + p
-        offs = (jnp.float32(n) - jnp.arange(n, dtype=jnp.float32)) + predelay.astype(jnp.float32)
-        delayed_in = ring_ops.ring_read_frac(pre, offs)
+        # chronological buffer: [history | this block] — the delayed block is
+        # one contiguous slice at start (PRE_MAX - predelay)
+        dt_s = ctx.scan_dtype
+        pre_big = jnp.concatenate([state["pre"], x.astype(dt_s)], axis=-1)
+        delayed_in = jax.lax.dynamic_slice(
+            pre_big, (jnp.int32(0), jnp.int32(_PRE_MAX) - predelay), (2, n))
+        pre = pre_big[:, n:]
 
         coefs_a = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 1.618034)
         bq_a, filt_a = filters.tpt_process(state["bq_a"], delayed_in, coefs_a, dtype=ctx.scan_dtype)
@@ -197,74 +205,94 @@ class ReverbEffect(Effect):
         # Within a sub-block (< min allpass delay), stage a+1's sample j
         # depends only on stage a's sample j and its own >=775-sample-old
         # buffer, so all four stages chain inside one scan step — same math
-        # as four separate scans, a quarter of the scan overhead.
-        ap_buf = state["ap_buf"]  # [4, 2, S]
-        ap_pos = state["ap_pos"]  # [4]
-        ap_periods = [ap_delay[a] + 1 for a in range(4)]
+        # as four separate scans, a quarter of the scan overhead.  Buffers
+        # are chronological [4, 2, H + n]: the write is one contiguous
+        # dynamic_update_slice at H + t0, the integer-delay read one
+        # contiguous dynamic_slice at H + t0 - delay (delay <= 4300 < H).
+        h_ap = _AP_BUF
+        ap_big0 = jnp.concatenate(
+            [state["ap_buf"], jnp.zeros((4, 2, n), dt_s)], axis=-1)
 
         def ap_step(buf4, idx):
             t0 = idx * b_ap
-            j = jnp.arange(b_ap, dtype=jnp.int32)
+            z = jnp.zeros_like(t0)
             sig = jax.lax.dynamic_slice(
-                drive_in, (jnp.zeros_like(t0), t0), (2, b_ap)
-            )
+                drive_in, (z, t0), (2, b_ap)).astype(dt_s)
             stage_outs = []
             for a in range(4):
-                wpos = jnp.mod(ap_pos[a] + t0 + j, ap_periods[a])
-                rpos = jnp.mod(wpos + 1, ap_periods[a])
-                row = buf4[a]  # [2, S]
-                delayed = jnp.take(row, rpos, axis=-1)  # [2, B]
+                delayed = jax.lax.dynamic_slice(
+                    buf4, (jnp.int32(a), z, h_ap + t0 - ap_delay[a]),
+                    (1, 2, b_ap))[0]
                 w = sig - delayed * 0.5
                 sig = w * 0.5 + delayed
-                buf4 = buf4.at[a].set(row.at[:, wpos].set(w))
+                buf4 = jax.lax.dynamic_update_slice(
+                    buf4, w[None], (jnp.int32(a), z, h_ap + t0))
                 stage_outs.append(sig)
             return buf4, jnp.stack(stage_outs)  # [4, 2, B]
 
-        ap_buf, outs = jax.lax.scan(
-            ap_step, ap_buf, jnp.arange(n // b_ap, dtype=jnp.int32)
+        ap_big, outs = jax.lax.scan(
+            ap_step, ap_big0, jnp.arange(n // b_ap, dtype=jnp.int32)
         )
         stages = jnp.moveaxis(outs, 0, -2).reshape(4, 2, n)
         ap_i, ap_j, ap_k, ap_l = stages[0], stages[1], stages[2], stages[3]
-        new_ap_buf = ap_buf
-        new_ap_pos = jnp.stack(
-            [jnp.mod(ap_pos[a] + n, ap_periods[a]) for a in range(4)]
-        )
+        new_ap_buf = ap_big[:, :, n:]
 
         # FDN line inputs (reverb.rs:275-283): a/h <- allpass L, b/g <- K,
         # c/f <- J, d/e <- I
         line_in = jnp.stack([ap_l, ap_k, ap_j, ap_i, ap_i, ap_j, ap_k, ap_l])  # [8, 2, n]
 
         # ---- 8-line vibrato FDN: one sub-block scan over all lines ---------
-        periods = (line_delay + 1)[:, None]  # [8, 1]
-        dt_s = ctx.scan_dtype
+        # Chronological buffers [8, 2, H + n].  The ring-slot read at
+        # count+1+floor(offset) (mod period) targets the sample written
+        # delay - floor(offset) steps earlier, so in absolute time the read
+        # for output sample t is buf[t - delay + floor(offset)] with the
+        # fraction interpolating one sample newer.  offset = (sin+1)*7 lies
+        # in [0, 14], so each step reads ONE contiguous per-line window of
+        # b_fdn + 16 starting at t0 - delay and resolves the vibrato with an
+        # exact 15-way shift select (plus shift+1 for the interp partner).
         vib_inc = jnp.asarray(_VIB_DEPTHS * VIB_SPEED, dt_s)  # [8]
         blend_b = blend
         regen_b = regen
+        h_ln = _LINE_BUF
+        win = b_fdn + 2 * int(VIB_DEPTH) + 2  # window: B reads + 15 shifts + interp partner
+        line_big0 = jnp.concatenate(
+            [state["line_buf"], jnp.zeros((8, 2, n), dt_s)], axis=-1)
 
         vib_base = state["vib_phase"]  # vibrato phase at block start
 
         def fdn_step(carry, idx):
-            buf, count0, fb = carry  # [8,2,S], [8], [8,2]
+            buf, fb = carry  # [8, 2, H+n], [8, 2]
             t0 = idx * b_fdn
+            z = jnp.zeros_like(t0)
             j = jnp.arange(b_fdn, dtype=jnp.int32)
-            counts = jnp.mod(count0[:, None] + j[None, :], periods)  # [8, B]
             vib = vib_base[:, :, None] + vib_inc[:, None, None] * (
                 t0.astype(dt_s) + j[None, None, :].astype(dt_s)
             )  # [8, 2, B] -- absolute phase offset from the block start
 
             # reads happen after step(): position = count+1, vibrato phase
-            # advanced once more (reverb.rs:284-301, 554-586).  Keep the
-            # integer part in int32 and the fraction from the small offset
-            # alone — f32 `count + offset` at ~8000 only keeps ~2^-10 of
-            # fractional resolution, which audibly corrupts the vibrato.
+            # advanced once more (reverb.rs:284-301, 554-586).  The integer
+            # shift and fraction come from the small offset alone, exactly
+            # as the ring formulation computed them.
             offset = (jnp.sin(vib + vib_inc[:, None, None]) + 1.0) * VIB_DEPTH
             off_floor = jnp.floor(offset)
             w_frac = offset - off_floor
-            w_int = counts[:, None, :] + 1 + off_floor.astype(jnp.int32)
-            r1 = jnp.mod(w_int, periods[:, :, None])
-            r2 = jnp.mod(w_int + 1, periods[:, :, None])
-            v1 = jnp.take_along_axis(buf, r1, axis=-1)
-            v2 = jnp.take_along_axis(buf, r2, axis=-1)
+            k_int = off_floor.astype(jnp.int32)  # [8, 2, B] in [0, 14]
+
+            # one contiguous window per line: buf[l, :, H + t0 - delay_l ...]
+            wins = jnp.concatenate([
+                jax.lax.dynamic_slice(
+                    buf, (jnp.int32(l), z, h_ln + t0 - line_delay[l]),
+                    (1, 2, win))
+                for l in range(8)
+            ])  # [8, 2, win]
+
+            # exact shift-select: v1[j] = wins[j + k], v2[j] = wins[j + k + 1]
+            v1 = jnp.zeros((8, 2, b_fdn), dt_s)
+            v2 = jnp.zeros((8, 2, b_fdn), dt_s)
+            for k in range(2 * int(VIB_DEPTH) + 1):
+                sel = k_int == k
+                v1 = jnp.where(sel, jax.lax.dynamic_slice_in_dim(wins, k, b_fdn, axis=-1), v1)
+                v2 = jnp.where(sel, jax.lax.dynamic_slice_in_dim(wins, k + 1, b_fdn, axis=-1), v2)
             bl = jax.lax.dynamic_slice(blend_b, (t0,), (b_fdn,))[None, None, :]
             interp = (1.0 - bl) * (v1 * (1.0 - w_frac) + v2 * w_frac) + v1 * bl  # [8,2,B]
 
@@ -277,20 +305,18 @@ class ReverbEffect(Effect):
             fb_now = (2.0 * interp - gsum) * rg  # [8, 2, B]
             fb_prev = jnp.concatenate([fb[:, :, None], fb_now[:, :, :-1]], axis=-1)
 
-            x_j = jax.lax.dynamic_slice(
-                line_in, (jnp.zeros_like(t0), jnp.zeros_like(t0), t0), (8, 2, b_fdn)
-            )
-            writes = x_j + fb_prev
-            buf = _scatter_lines(buf, counts, writes)
+            x_j = jax.lax.dynamic_slice(line_in, (z, z, t0), (8, 2, b_fdn))
+            writes = (x_j + fb_prev).astype(dt_s)
+            buf = jax.lax.dynamic_update_slice(buf, writes, (z, z, h_ln + t0))
 
             out = jnp.mean(interp, axis=0)  # [2, B]
-            new_count = jnp.mod(count0 + b_fdn, periods[:, 0])
-            return (buf, new_count, fb_now[:, :, -1]), out
+            return (buf, fb_now[:, :, -1]), out
 
-        carry0 = (state["line_buf"], state["line_count"], state["fb"])
-        (line_buf, line_count, fb), outs = jax.lax.scan(
-            fdn_step, carry0, jnp.arange(n // b_fdn, dtype=jnp.int32)
+        (line_big, fb), outs = jax.lax.scan(
+            fdn_step, (line_big0, state["fb"]),
+            jnp.arange(n // b_fdn, dtype=jnp.int32)
         )
+        line_buf = line_big[:, :, n:]
         wet_sig = jnp.moveaxis(outs, 0, 1).reshape(2, n)
         # vibrato phase advances by inc per sample across the whole block;
         # wrap to [0, 2pi) so the accumulator never outgrows float32
@@ -312,19 +338,7 @@ class ReverbEffect(Effect):
 
         new_state = {
             "pre": pre, "bq_a": bq_a, "bq_b": bq_b, "bq_c": bq_c,
-            "ap_buf": new_ap_buf, "ap_pos": new_ap_pos,
-            "line_buf": line_buf, "line_count": line_count,
+            "ap_buf": new_ap_buf, "line_buf": line_buf,
             "vib_phase": vib_phase, "fb": fb,
         }
         return new_state, y
-
-
-def _scatter_lines(buf, counts, writes):
-    """buf[l, ch, counts[l, j]] = writes[l, ch, j] — a 1-D scatter vmapped
-    over (line, channel)."""
-    idx = jnp.broadcast_to(counts[:, None, :], writes.shape)
-
-    def put(b, i, w):
-        return b.at[i].set(w)
-
-    return jax.vmap(jax.vmap(put))(buf, idx, writes)
