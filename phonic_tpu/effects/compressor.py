@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.nodes import BuildCtx, Effect
+from ..ops import follower as follower_ops
 from ..ops.envelope import follower_alpha
 from ..params import FloatParameter, format_db, format_ratio
 
@@ -146,17 +147,9 @@ class CompressorEffect(Effect):
             det_peak > 1e-6, _LN10_20 * jnp.log(jnp.maximum(det_peak, 1e-7)), -120.0
         )
 
-        def step(env, xs):
-            # alpha (1-coef) form of env = in + c*(env - in): algebraically
-            # identical, but full f32 relative precision on the small step
-            in_db, aa, ra = xs
-            a = jnp.where(in_db > env, aa, ra)
-            env = env + a * (in_db - env)
-            return env, env
-
-        xs = tuple(jnp.broadcast_to(v, (n,)).astype(ctx.scan_dtype)
-                   for v in (input_db, attack_a, release_a))
-        env_end, envelope = jax.lax.scan(step, state["env"], xs, unroll=64)
+        bc = lambda v: jnp.broadcast_to(v, (n,)).astype(ctx.scan_dtype)
+        env_end, envelope = follower_ops.asym_follower(
+            bc(input_db), bc(attack_a), bc(release_a), state["env"])
 
         slope = jnp.where(is_limiter, 1.0, 1.0 - 1.0 / jnp.maximum(ratio, 1.0))
         t = threshold

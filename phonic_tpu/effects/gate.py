@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.nodes import BuildCtx, Effect
+from ..ops import follower as follower_ops
 from ..ops.envelope import follower_alpha
 from ..params import FloatParameter, format_db
 
@@ -83,26 +84,11 @@ class GateEffect(Effect):
         peak = jnp.maximum(jnp.abs(x[0]), jnp.abs(x[1])).astype(dt)
         input_db = jnp.where(peak > 1e-6, _LN10_20 * jnp.log(jnp.maximum(peak, 1e-7)), -120.0)
 
-        def step(carry, xs):
-            # alpha (1-coef) form: algebraically identical to the coef
-            # update, full f32 relative precision on the small step
-            env, hold, gain_db = carry
-            in_db, thr, rng, aa, ra, hs = xs
-            a = jnp.where(in_db > env, aa, ra)
-            env = env + a * (in_db - env)
-            is_open = env >= thr
-            target = jnp.where(is_open | (hold > 0), 0.0, rng)
-            hold = jnp.where(is_open, hs, jnp.maximum(hold - 1.0, 0.0))
-            a2 = jnp.where(target > gain_db, aa, ra)
-            gain_db = gain_db + a2 * (target - gain_db)
-            return (env, hold, gain_db), gain_db
-
-        xs = tuple(
-            jnp.broadcast_to(v, input_db.shape).astype(dt)
-            for v in (input_db, threshold, range_db, attack_a, release_a, hold_samples)
-        )
-        (env, hold, gain_db), gains_db = jax.lax.scan(
-            step, (state["env"], state["hold"], state["gain_db"]), xs, unroll=64
+        bc = lambda v: jnp.broadcast_to(v, input_db.shape).astype(dt)
+        (env, hold, gain_db), gains_db = follower_ops.gate_machine(
+            bc(input_db), bc(attack_a), bc(release_a), bc(threshold),
+            bc(range_db), bc(hold_samples),
+            state["env"], state["hold"], state["gain_db"],
         )
         gain = jnp.where(gains_db <= -60.0, 0.0, jnp.exp(gains_db / _LN10_20))
         gain = jnp.where(gains_db == 0.0, 1.0, gain).astype(x.dtype)
