@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.nodes import BuildCtx, Effect
-from ..ops import filters, lfo as lfo_ops, ring as ring_ops
+from ..ops import chrono as chrono_ops, filters, lfo as lfo_ops, ring as ring_ops
 from ..params import (
     EnumParameter, ExponentialScaling, FloatParameter, format_degrees,
     format_percent,
@@ -85,14 +85,15 @@ class ChorusEffect(Effect):
         # sub-block size is baked into the trace
         return (type(self).__name__, self._subblock(ctx))
 
+    def _max_offset(self, ctx: BuildCtx) -> int:
+        lfo_range = MAX_RANGE_SAMPLES * ctx.sample_rate / 44100.0
+        return (2 + int(math.ceil(MAX_DELAY_MS * ctx.sample_rate / 1000.0))
+                + 2 * int(math.ceil(lfo_range)) + 2)
+
     def init_state(self, ctx: BuildCtx):
-        sr = ctx.sample_rate
         dt = ctx.scan_dtype
-        lfo_range = MAX_RANGE_SAMPLES * sr / 44100.0
-        max_size = 2 + int(math.ceil(MAX_DELAY_MS * sr / 1000.0)) + 2 * int(math.ceil(lfo_range)) + 2
         return {
-            "ring_l": ring_ops.ring_init(1, max_size, dtype=dt),
-            "ring_r": ring_ops.ring_init(1, max_size, dtype=dt),
+            "line": chrono_ops.chrono_init(2, self._max_offset(ctx), dtype=dt),
             "svf": filters.tpt_state_init((2,), dtype=dt),
             "lfo_l": lfo_ops.lfo_init(0.0),
             "lfo_r": lfo_ops.lfo_init(0.0),  # phase offset applied per block
@@ -155,33 +156,34 @@ class ChorusEffect(Effect):
         )
         _, lfo_r = lfo_ops.lfo_block(shifted, lfo_ops.SINE, inc, n)
 
+        H = chrono_ops.hist_len(self._max_offset(ctx))
         delay_samples = params[DELAY.id] * 0.001 * sr
         depth_samples = lfo_range * params[DEPTH.id]
         pos_l = jnp.clip(2.0 + delay_samples + (1.0 + lfo_l) * depth_samples,
-                         float(b + 1), None)
+                         float(b + 1), float(H - 2))
         pos_r = jnp.clip(2.0 + delay_samples + (1.0 + lfo_r) * depth_samples,
-                         float(b + 1), None)
+                         float(b + 1), float(H - 2))
         feedback = jnp.clip(params[FEEDBACK.id], -0.999, 0.999)
 
-        def sub_step(carry, idx):
-            ring_l, ring_r = carry
+        big0 = chrono_ops.begin(state["line"], n)
+
+        def sub_step(big, idx):
             t0 = idx * b
 
             def sl(a):
                 return jax.lax.dynamic_slice(a, (t0,), (b,))
 
-            j = jnp.arange(b, dtype=jnp.float32)
-            d_l = ring_ops.ring_read_frac(ring_l, sl(pos_l) - j)[0]
-            d_r = ring_ops.ring_read_frac(ring_r, sl(pos_r) - j)[0]
+            # read_frac offsets are per-output-sample delays (it advances by
+            # j internally, unlike ring_read_frac's wpos-relative offsets)
+            offs = jnp.stack([sl(pos_l), sl(pos_r)])
+            d = chrono_ops.read_frac(big, H, t0, offs)  # [2, B]
             fb_j = sl(feedback)
             fl = jax.lax.dynamic_slice(filtered, (jnp.zeros_like(t0), t0), (2, b))
-            ring_l = ring_ops.ring_write_block(ring_l, (fl[0] + d_l * fb_j)[None, :])
-            ring_r = ring_ops.ring_write_block(ring_r, (fl[1] + d_r * fb_j)[None, :])
-            return (ring_l, ring_r), jnp.stack([d_l, d_r])
+            big = chrono_ops.write_at(big, H, t0, fl + d * fb_j[None, :])
+            return big, d
 
-        (ring_l, ring_r), wets = jax.lax.scan(
-            sub_step, (state["ring_l"], state["ring_r"]),
-            jnp.arange(n // b, dtype=jnp.int32),
+        big, wets = jax.lax.scan(
+            sub_step, big0, jnp.arange(n // b, dtype=jnp.int32),
         )
         wet = jnp.moveaxis(wets, 0, 1).reshape(2, n).astype(x.dtype)
 
@@ -189,7 +191,7 @@ class ChorusEffect(Effect):
         y = x * (1.0 - wet_mix)[None, :] + wet * wet_mix[None, :]
 
         new_state = {
-            "ring_l": ring_l, "ring_r": ring_r, "svf": svf,
+            "line": chrono_ops.end(big, n), "svf": svf,
             "lfo_l": lfo_l_state, "lfo_r": state["lfo_r"],
         }
         return new_state, y

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.nodes import BuildCtx, Effect
-from ..ops import filters, lfo as lfo_ops, ring as ring_ops
+from ..ops import chrono as chrono_ops, filters, lfo as lfo_ops, ring as ring_ops
 from ..params import (
     EnumParameter, ExponentialScaling, FloatParameter, format_degrees,
     format_percent,
@@ -123,13 +123,15 @@ class DelayEffect(Effect):
         # sub-block size and the LFO RNG seed are baked into the trace
         return (type(self).__name__, self._subblock(ctx), self.seed)
 
-    def init_state(self, ctx: BuildCtx):
-        max_samples = int(math.ceil(
+    def _max_offset(self, ctx: BuildCtx) -> int:
+        return int(math.ceil(
             (MAX_DELAY_MS + MAX_LFO_TIME_MOD_MS) * ctx.sample_rate / 1000.0
         )) + 4
+
+    def init_state(self, ctx: BuildCtx):
         dt = ctx.scan_dtype
         return {
-            "ring": ring_ops.ring_init(2, max_samples, dtype=dt),
+            "line": chrono_ops.chrono_init(2, self._max_offset(ctx), dtype=dt),
             "svf": filters.tpt_state_init((2,), dtype=dt),
             "dc": filters.dc_state_init((2,), dtype=dt),
             "fb": jnp.zeros((2,), dt),
@@ -206,8 +208,11 @@ class DelayEffect(Effect):
         dc_r = filters.dc_coefficient(sr, "default")
         is_pp = mode == 1
 
+        H = chrono_ops.hist_len(self._max_offset(ctx))
+        big0 = chrono_ops.begin(state["line"], n)
+
         def sub_step(carry, idx):
-            ring, svf, dc, fb_state = carry
+            big, svf, dc, fb_state = carry
             t0 = idx * b
 
             def sl(a):
@@ -216,8 +221,7 @@ class DelayEffect(Effect):
             d_j = sl(delay_samples)
             fb_j = sl(feedback)
             drive_j = sl(drive)
-            j = jnp.arange(b, dtype=jnp.float32)
-            delayed = ring_ops.ring_read_frac(ring, d_j - j)  # [2, B]
+            delayed = chrono_ops.read_frac(big, H, t0, d_j)  # [2, B]
 
             coefs = filters.TptCoefficients(
                 sl(a1), sl(a2), sl(a3), sl(m0), sl(m1), sl(m2)
@@ -236,12 +240,12 @@ class DelayEffect(Effect):
             # stereo: own-channel feedback; pingpong: cross-channel
             l_in = jnp.where(is_pp, mono + prev[1] * fb_j, x_j[0] + prev[0] * fb_j)
             r_in = jnp.where(is_pp, prev[0] * fb_j, x_j[1] + prev[1] * fb_j)
-            ring = ring_ops.ring_write_block(ring, jnp.stack([l_in, r_in]))
+            big = chrono_ops.write_at(big, H, t0, jnp.stack([l_in, r_in]))
 
-            return (ring, svf, dc, clean[:, -1]), clean
+            return (big, svf, dc, clean[:, -1]), clean
 
-        carry0 = (state["ring"], state["svf"], state["dc"], state["fb"])
-        (ring, svf, dc, fb_state), wets = jax.lax.scan(
+        carry0 = (big0, state["svf"], state["dc"], state["fb"])
+        (big, svf, dc, fb_state), wets = jax.lax.scan(
             sub_step, carry0, jnp.arange(n // b, dtype=jnp.int32)
         )
         wet = jnp.moveaxis(wets, 0, 1).reshape(2, n).astype(x.dtype)
@@ -256,7 +260,8 @@ class DelayEffect(Effect):
         side = (out[0] - out[1]) * 0.5
         y = jnp.stack([mid + side * width, mid - side * width])
 
-        new_state = {"ring": ring, "svf": svf, "dc": dc, "fb": fb_state, "lfo": lfo_state}
+        new_state = {"line": chrono_ops.end(big, n), "svf": svf, "dc": dc,
+                     "fb": fb_state, "lfo": lfo_state}
         return new_state, y
 
     # DelayEffectMessage::Reset analog is handled by the engine via
