@@ -99,7 +99,13 @@ def window_sample(mode, phase, table=None):
 @dataclasses.dataclass
 class GranularConfig:
     """Static granular options; the matching FourCC parameters modulate at
-    runtime (sampler.rs:219-296)."""
+    runtime (sampler.rs:219-296).
+
+    ``max_read_speed`` bounds a grain's source read rate (samples advanced
+    per output sample; grain speeds above it clamp).  It sizes the static
+    read windows of the gather-free render path, so cost scales with it:
+    lower it when the material never pitches grains up (deviation: the
+    reference has no such cap)."""
 
     overlap_mode: str = "Cloud"
     window: str = "Hann"
@@ -111,6 +117,149 @@ class GranularConfig:
     direction: str = "Forward"
     position: float = 0.5
     step: float = 0.0
+    max_read_speed: float = 4.0
+
+
+# ---------------------------------------------------------------------------
+# Gather-free grain reads.  Per-element gathers execute at scalar rate on
+# this TPU (~7.6 ns/element): the [G, n] 4-tap Catmull-Rom read alone cost
+# ~390 ms per voice per 131072-frame block, the window-LUT lerp ~195 ms.
+# Both reads are per-grain RAMPS (position advances by a constant per
+# sample), so each (grain, chunk) touches one or two contiguous source
+# windows; the fractional read then resolves with one-hot row matmuls on
+# the MXU (exact f32 at Precision.HIGHEST), like ops/chrono.py.
+# ---------------------------------------------------------------------------
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm_taps(win2, kil, nrows):
+    """Row-matmul tap windows: win2 [R, 128], kil [C] (leftmost tap index,
+    masked entries clamped).  Returns (w0, w1, lo): w0/w1 [C, 128] hold the
+    rows kil//128 and kil//128 + 1."""
+    rr = jnp.arange(nrows - 1, dtype=jnp.int32)
+    hi = kil >> 7
+    lo = kil & 127
+    oh = (hi[:, None] == rr[None, :]).astype(win2.dtype)  # [C, R-1]
+    w0 = jnp.matmul(oh, win2[:-1], precision=_HI)
+    w1 = jnp.matmul(oh, win2[1:], precision=_HI)
+    return w0, w1, lo
+
+
+def _lane_tap(w0, w1, lo, m):
+    """Value at window index kil + m given its row pair (exact select)."""
+    lanes = jnp.arange(128, dtype=jnp.int32)
+    o = lanes[None, :] - lo[:, None]
+    return (jnp.sum(jnp.where(o == m, w0, 0.0), axis=-1)
+            + jnp.sum(jnp.where(o == m - 128, w1, 0.0), axis=-1))
+
+
+def _window_env_mm(wmode, wphase, table=None):
+    """LUT-lerp window envelope for [G, C] phases with per-grain constant
+    mode — same values as :func:`window_sample` (granular.rs:201-215)."""
+    if table is None:
+        table = jnp.asarray(grain_windows().reshape(-1))
+    g = wmode.shape[0]
+    idx_f = jnp.clip(wphase, 0.0, 1.0) * (WINDOW_N - 1)
+    idx = jnp.minimum(idx_f.astype(jnp.int32), WINDOW_N - 2)
+    frac = idx_f - idx
+    # per-grain table row (mode is constant per grain): exact one-hot pick
+    modes = jnp.arange(8, dtype=jnp.int32)
+    oh_m = (jnp.asarray(wmode, jnp.int32)[:, None] == modes[None, :]).astype(
+        table.dtype)
+    tab = jnp.matmul(oh_m, table.reshape(8, WINDOW_N), precision=_HI)  # [G, 2048]
+    nrows = WINDOW_N // 128 + 1
+    tab = jnp.pad(tab, ((0, 0), (0, nrows * 128 - WINDOW_N)))
+
+    def per_grain(tab_g, idx_g, frac_g):
+        w0, w1, lo = _mm_taps(tab_g.reshape(nrows, 128), idx_g, nrows)
+        a = _lane_tap(w0, w1, lo, 0)
+        b = _lane_tap(w0, w1, lo, 1)
+        return a * (1.0 - frac_g) + b * frac_g
+
+    return jax.vmap(per_grain)(tab, idx, frac)
+
+
+def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
+    """4-point Catmull-Rom read of folded positions ``fidx`` [G, C] from the
+    circularly-extended source ``ext`` (ext[e] = tap value at coordinate
+    e - 1; taps wrap on the file circle, granular.rs:899-933).
+
+    Each grain's positions are a ramp folded into a circle (global wrap or
+    loop range), so all taps of a chunk live in at most two contiguous
+    windows: the main band around the first active sample's position and
+    the wrap-target band at the circle start (or its end for reversed
+    reads).  ``d``/``loop_s``/``loop_len`` are per-grain [G]; ``first_j``
+    [G] is the first in-chunk sample index at which the grain is live
+    (anchors the main band); ``span`` is the static per-chunk position
+    span bound (chunk * max_read_speed).
+    """
+    g_n, c_n = fidx.shape
+    rows_w = span // 128 + 2
+    w = rows_w * 128
+    nrows = 2 * (rows_w + 1)
+    ext_len = ext.shape[0]
+
+    i1 = jnp.minimum(fidx.astype(jnp.int32), frames - 1)
+    frac = fidx - i1.astype(jnp.float32)
+
+    f_at = jnp.take_along_axis(fidx, first_j[:, None], axis=1)[:, 0]  # [G]
+    neg = d < 0
+    a0 = f_at.astype(jnp.int32) - 2 - jnp.where(neg, span, 0)
+    short = loop_len <= float(w - 8)
+    a1 = jnp.where(
+        short | ~neg, loop_s.astype(jnp.int32) - 2,
+        (loop_s + loop_len).astype(jnp.int32) - span - 2)
+    # clamp fetch starts into ext (start = anchor + 1, length w + 128)
+    a0 = jnp.clip(a0, -1, ext_len - w - 129)
+    a1 = jnp.clip(a1, -1, ext_len - w - 129)
+
+    def fetch(anchor):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(ext, (s,), (w + 128,)))(anchor + 1)
+
+    win = jnp.concatenate([fetch(a0), fetch(a1)], axis=-1)  # [G, 2(w+128)]
+
+    kil0 = i1 - 1 - a0[:, None]
+    kil1 = i1 - 1 - a1[:, None]
+    in0 = (kil0 >= 0) & (kil0 <= w - 4)
+    in1 = (kil1 >= 0) & (kil1 <= w - 4)
+    ok = in0 | in1  # actives are always covered; stale slots get zeros
+    kil = jnp.where(in0, kil0, jnp.clip(kil1, 0, w - 4) + (w + 128))
+
+    f = frac
+    f2 = f * f
+    f3 = f2 * f
+    wts = (f2 - 0.5 * (f + f3), 1.0 - 2.5 * f2 + 1.5 * f3,
+           0.5 * f + 2.0 * f2 - 1.5 * f3, 0.5 * (f3 - f2))
+
+    def per_grain(win_g, kil_g, w0t, w1t, w2t, w3t):
+        w0, w1, lo = _mm_taps(win_g.reshape(nrows, 128), kil_g, nrows)
+        out = (_lane_tap(w0, w1, lo, 0) * w0t
+               + _lane_tap(w0, w1, lo, 1) * w1t
+               + _lane_tap(w0, w1, lo, 2) * w2t
+               + _lane_tap(w0, w1, lo, 3) * w3t)
+        return out
+
+    vals = jax.vmap(per_grain)(win, kil, *wts)
+    return jnp.where(ok, vals, 0.0)
+
+
+def source_ext(mono_buf, span: int):
+    """Circularly-extended tap buffer for :func:`_source_read_mm`:
+    ext[e] = g(e - 1) where g(-1) = buf[frames-1], g(0..frames-1) = buf,
+    g(frames) = buf[0] (the file-circle tap wrap), zero-padded so any
+    clamped window fetch stays in range."""
+    frames = mono_buf.shape[0]
+    w = (span // 128 + 2) * 128
+    # always pad a full window past the top so anchor clamping never binds
+    # for in-range positions (fetches may extend past coordinate `frames`;
+    # the pad lanes are never selected)
+    pad = w + 132
+    return jnp.concatenate([
+        mono_buf[-1:], mono_buf, mono_buf[:1],
+        jnp.zeros((pad,), mono_buf.dtype),
+    ])
 
 
 def grain_state_init(pool: int = POOL_SIZE):
@@ -155,6 +304,7 @@ def granular_voice_block(
     direction,  # i32[n]
     seed: int,
     max_triggers: int,
+    max_read_speed: float = 4.0,
 ):
     """Render one voice's granular output for a block -> (state, [2, n])."""
     frames = mono_buf.shape[0]
@@ -241,7 +391,10 @@ def granular_voice_block(
         gpos = jnp.where(lm, ls + jnp.mod(gpos - ls, ll), gpos)
         gpos = jnp.mod(gpos, 1.0)
 
-        gspeed = speed[t_safe] * jnp.exp2((sem1 + sem2) / 12.0)
+        # read-speed cap: sizes the static windows of the gather-free render
+        # (GranularConfig.max_read_speed; deviation — no cap in the reference)
+        gspeed = jnp.minimum(speed[t_safe] * jnp.exp2((sem1 + sem2) / 12.0),
+                             jnp.float32(max_read_speed))
         ginc = gspeed / jnp.float32(frames) * jnp.where(reverse, -1.0, 1.0)
         gvol = jnp.clip(vol[t_safe] * vol_scale, 0.0, 100.0)
         wm = window_mode[t_safe]
@@ -299,30 +452,47 @@ def granular_voice_block(
 
     localf = local.astype(jnp.float32)
     wphase = jnp.clip(localf * slots["g_winc"][:, None], 0.0, 1.0)
-    env = window_sample(
-        jnp.broadcast_to(slots["g_wmode"][:, None], wphase.shape), wphase,
-        table=window_table,
-    ) * slots["g_vol"][:, None]
+    # mm (one-hot matmul) reads on TPU, where gathers run at scalar rate;
+    # plain gathers on CPU, where they are fast and the MXU isn't there.
+    # tests/test_granular_mmread.py pins the two paths equal.
+    use_mm = jax.default_backend() in ("tpu", "axon")
+    if use_mm:
+        env = _window_env_mm(slots["g_wmode"], wphase, window_table)
+    else:
+        env = window_sample(
+            jnp.broadcast_to(slots["g_wmode"][:, None], wphase.shape), wphase,
+            table=window_table)
+    env = env * slots["g_vol"][:, None]
 
     pos = slots["g_pos0"][:, None] + localf * slots["g_inc"][:, None]
     pos_folded = ls + jnp.mod(pos - ls, ll)
-    pos = jnp.where(slots["g_loop"][:, None] > 0.5, pos_folded, jnp.mod(pos, 1.0))
+    looped = slots["g_loop"][:, None] > 0.5
+    pos = jnp.where(looped, pos_folded, jnp.mod(pos, 1.0))
 
     # Catmull-Rom read with circular wrap (granular.rs:899-933)
     fidx = pos * jnp.float32(frames - 1)
-    i1 = jnp.minimum(fidx.astype(jnp.int32), frames - 1)
-    frac = fidx - i1.astype(jnp.float32)
-    i0 = jnp.where(i1 > 0, i1 - 1, frames - 1)
-    i2 = jnp.where(i1 < frames - 1, i1 + 1, 0)
-    i3 = jnp.where(i2 < frames - 1, i2 + 1, 0)
-    y0 = mono_buf[i0]
-    y1 = mono_buf[i1]
-    y2 = mono_buf[i2]
-    y3 = mono_buf[i3]
-    a = -0.5 * y0 + 1.5 * y1 - 1.5 * y2 + 0.5 * y3
-    b = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
-    c = -0.5 * y0 + 0.5 * y2
-    s = ((a * frac + b) * frac + c) * frac + y1
+    if use_mm:
+        span = int(math.ceil(n * max_read_speed)) + 8
+        lf = jnp.float32(frames - 1)
+        s = _source_read_mm(
+            source_ext(mono_buf, span), frames, fidx,
+            d=slots["g_inc"] * lf,
+            loop_s=jnp.where(slots["g_loop"] > 0.5, ls, 0.0) * lf,
+            loop_len=jnp.where(slots["g_loop"] > 0.5, ll, 1.0) * lf,
+            first_j=jnp.clip(slots["g_trig"] - frame0, 0, n - 1),
+            span=span,
+        )
+    else:
+        i1 = jnp.minimum(fidx.astype(jnp.int32), frames - 1)
+        frac = fidx - i1.astype(jnp.float32)
+        i0 = jnp.where(i1 > 0, i1 - 1, frames - 1)
+        i2 = jnp.where(i1 < frames - 1, i1 + 1, 0)
+        i3 = jnp.where(i2 < frames - 1, i2 + 1, 0)
+        y0, y1, y2, y3 = mono_buf[i0], mono_buf[i1], mono_buf[i2], mono_buf[i3]
+        a = -0.5 * y0 + 1.5 * y1 - 1.5 * y2 + 0.5 * y3
+        b = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+        c = -0.5 * y0 + 0.5 * y2
+        s = ((a * frac + b) * frac + c) * frac + y1
 
     ENVELOPE_THRESHOLD = 1e-5
     g = jnp.where(g_active & (env > ENVELOPE_THRESHOLD), env, 0.0)

@@ -56,7 +56,7 @@ NEVER = np.iinfo(np.int32).max
 
 # granular renders in sub-chunks of this size when block_frames exceeds it
 # (the grain pool allocates-then-renders per chunk; see _process_granular)
-_GRANULAR_CHUNK = 16384
+_GRANULAR_CHUNK = 2048
 
 TRANSPOSE = IntegerParameter("STRN", "Transpose", -48, 48, 0, unit="st")
 FINETUNE = IntegerParameter("SFTN", "Finetune", -100, 100, 0, unit="ct")
@@ -793,7 +793,8 @@ class Sampler(Generator):
                     loop_range=loop_norm, window_table=gwin,
                     note_start=note_start, overlap_mode=overlap,
                     seed=self.seed ^ (voice_idx + 1) * 0x51ED,
-                    max_triggers=mt, **sl)
+                    max_triggers=mt,
+                    max_read_speed=self.granular.max_read_speed, **sl)
 
             # Big blocks run the grain engine as a scan over sub-chunks: a
             # slot is only reusable once its grain expired BEFORE the chunk
