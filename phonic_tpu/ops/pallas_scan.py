@@ -5,13 +5,15 @@ Hillis-Steele doubling scan with ALL recurrence lanes batched into the
 sublane dimension, so one kernel invocation solves every lane at once and
 the intermediate sweep arrays never round-trip through HBM.
 
-Measured on the target TPU (standalone [2, 131072] second-order scan, both
-paths under jit): steady state is a WASH — XLA associative scan 0.019
-ms/block vs Pallas 0.022 ms (XLA fuses + pipelines the sweeps well).  The
-Pallas path's advantage is compile time: 0.9 s vs 61.8 s for the same
-program through the remote-relay compiler.  Production routing therefore
-defaults to XLA; set ``PHONIC_TPU_PALLAS=1`` to route eligible f32 scans
-(T >= 2048) through these kernels (see ops/scan._use_pallas).
+NOTE (round 4): the "0.019 ms vs 0.022 ms wash" once quoted here was a
+speculator-era fake (see CLAUDE.md 'THE SPECULATOR' — both numbers were
+measured before the first device->host read, i.e. without real execution).
+In forced-real mode the associative scan costs ~milliseconds per lane and
+scales linearly with vmapped lanes; production routing now uses the
+two-level chunked evaluation in ops/scan.py (_chunked_first/_chunked_second,
+lane-flat) for long blocks.  These Pallas kernels remain an opt-in
+alternative (``PHONIC_TPU_PALLAS=1``) whose main advantage is compile time
+(sub-second vs ~a minute through the remote-relay compiler).
 
 Layout: streams arrive ``[R, T]`` (recurrence lanes x time, time in the
 lane dimension — the engine's native ``[..., T]`` layout, no transposes).

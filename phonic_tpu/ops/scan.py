@@ -1,4 +1,4 @@
-"""Parallel evaluation of linear recurrences via ``lax.associative_scan``.
+"""Parallel evaluation of linear recurrences.
 
 This is the substrate that lets every recursive DSP unit in the reference
 (one-pole smoothers src/utils/smoothing.rs, biquads
@@ -7,6 +7,21 @@ envelope followers src/utils/dsp/envelope.rs) run as a *parallel* TPU program
 instead of a per-sample loop: a first- or second-order recurrence
 ``s[n] = A[n] s[n-1] + b[n]`` is an associative composition, so a block of N
 samples evaluates in O(log N) depth on the VPU.
+
+Two evaluation strategies, routed by block length:
+
+- short blocks: ``lax.associative_scan`` (log-depth odd/even sweeps);
+- long blocks (>= _CHUNKED_MIN_T): a two-level chunked evaluation
+  (:func:`_chunked_first` / :func:`_chunked_second`) — reshape T into
+  [M, L] chunks, one short ``lax.scan`` over L with every chunk advanced
+  in parallel (carrying the zero-state response and the cumulative
+  coefficient), a second short scan threading chunk boundaries, and an
+  elementwise combine.  On the target TPU the associative scan's strided
+  sweeps cost milliseconds per lane and scale LINEARLY with vmapped lanes
+  (measured: a 5-band EQ cascade 22.5 ms/lane at [2, 131072]); the chunked
+  form's scan bodies are elementwise over batch x chunks, so it stays at
+  the dispatch floor and batches ~flat (measured: 9.0 ms at x1, 15.5 ms
+  at x16 lanes for the same cascade).
 
 Time-varying coefficients are free: every element carries its own ``A[n]``,
 which directly solves parameter-ramped filters (the reference recomputes
@@ -28,6 +43,14 @@ import numpy as np
 # isn't worth paying.
 _PALLAS_MIN_T = 2048
 
+# Minimum block length for the two-level chunked evaluation.  Below this the
+# associative scan is fine; above it the associative scan's log2(T) levels of
+# stride-2^k slicing dominate (measured on the target TPU: a 5-band EQ over
+# [2, 131072] costs ~22.5 ms per vmapped lane and scales LINEARLY with
+# lanes, while the chunked form's two short scans have elementwise bodies
+# that batch flat).
+_CHUNKED_MIN_T = 4096
+
 
 def _use_pallas(dtype, t, reverse=False) -> bool:
     """Route through ops/pallas_scan only when explicitly requested.
@@ -48,6 +71,135 @@ def _use_pallas(dtype, t, reverse=False) -> bool:
     from .pallas_scan import pallas_scan_supported
 
     return pallas_scan_supported()
+
+
+def _chunk_split(t: int) -> int:
+    """Within-chunk length L ~ sqrt(t) (power of two), minimising the total
+    sequential steps L + ceil(t/L) of the two-level evaluation."""
+    return 1 << (t.bit_length() // 2)
+
+
+def _chunked_first(a, b, y0):
+    """Two-level evaluation of ``y[n] = a[n] y[n-1] + b[n]`` along the last
+    axis.  Reshapes T into [M, L] chunks; a short ``lax.scan`` over L runs
+    every chunk's recurrence from zero state (carrying the cumulative
+    coefficient product), a second scan over M threads the carry between
+    chunks, and an elementwise combine restores the exact solution:
+
+        y[m, l] = w[m, l] + p[m, l] * c[m-1]
+
+    where w is the zero-state (particular) response, p the cumulative
+    product of a within the chunk, and c the chunk-boundary state.  Both
+    scan bodies are elementwise over all batch dims x chunks, so the cost
+    is ~(L + M) steps of loop overhead regardless of lanes/channels — the
+    associative scan this replaces moves strided data at every one of its
+    log2(T) levels and scales linearly with the batch.
+    """
+    t = b.shape[-1]
+    l = _chunk_split(t)
+    m = -(-t // l)
+    if m * l != t:
+        pad = m * l - t
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                    constant_values=1)
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
+    lead = b.shape[:-1]
+    ar = jnp.moveaxis(a.reshape(lead + (m, l)), -1, 0)  # [L, ..., M]
+    br = jnp.moveaxis(b.reshape(lead + (m, l)), -1, 0)
+
+    def step(carry, inp):
+        w, p = carry
+        a_n, b_n = inp
+        w = a_n * w + b_n
+        p = p * a_n
+        return (w, p), (w, p)
+
+    w0 = jnp.zeros_like(br[0])
+    p0 = jnp.ones_like(ar[0])
+    (w_end, p_end), (ws, ps) = jax.lax.scan(step, (w0, p0), (ar, br))
+
+    def cstep(c, inp):
+        pe, we = inp
+        c = pe * c + we
+        return c, c
+
+    y0b = jnp.broadcast_to(jnp.asarray(y0, b.dtype), w_end.shape[:-1])
+    _, cs = jax.lax.scan(
+        cstep, y0b,
+        (jnp.moveaxis(p_end, -1, 0), jnp.moveaxis(w_end, -1, 0)))
+    cs = jnp.moveaxis(cs, 0, -1)  # [..., M]
+    c_prev = jnp.concatenate([y0b[..., None], cs[..., :-1]], axis=-1)
+    y = ws + ps * c_prev  # [L, ..., M] broadcast [..., M]
+    y = jnp.moveaxis(y, 0, -1).reshape(lead + (m * l,))
+    return y[..., :t]
+
+
+def _chunked_second(a11, a12, a21, a22, b1, b2, s0_1, s0_2):
+    """Two-level evaluation of the 2-vector recurrence (see
+    :func:`_chunked_first`); the cumulative coefficient is a 2x2 matrix
+    product tracked as four scalars."""
+    t = b1.shape[-1]
+    l = _chunk_split(t)
+    m = -(-t // l)
+    if m * l != t:
+        pad = m * l - t
+        padx = [(0, 0)] * (b1.ndim - 1) + [(0, pad)]
+        # pad with A = I, b = 0: state flows through unchanged
+        a11 = jnp.pad(a11, padx, constant_values=1)
+        a12 = jnp.pad(a12, padx)
+        a21 = jnp.pad(a21, padx)
+        a22 = jnp.pad(a22, padx, constant_values=1)
+        b1 = jnp.pad(b1, padx)
+        b2 = jnp.pad(b2, padx)
+    lead = b1.shape[:-1]
+
+    def chunked(x):
+        return jnp.moveaxis(x.reshape(lead + (m, l)), -1, 0)  # [L, ..., M]
+
+    xs = tuple(chunked(x) for x in (a11, a12, a21, a22, b1, b2))
+
+    def step(carry, inp):
+        w1, w2, p11, p12, p21, p22 = carry
+        c11, c12, c21, c22, d1, d2 = inp
+        w1n = c11 * w1 + c12 * w2 + d1
+        w2n = c21 * w1 + c22 * w2 + d2
+        q11 = c11 * p11 + c12 * p21
+        q12 = c11 * p12 + c12 * p22
+        q21 = c21 * p11 + c22 * p21
+        q22 = c21 * p12 + c22 * p22
+        out = (w1n, w2n, q11, q12, q21, q22)
+        return out, out
+
+    z = jnp.zeros_like(xs[4][0])
+    one = jnp.ones_like(xs[0][0])
+    init = (z, z, one, 0.0 * one, 0.0 * one, one)
+    ends, seq = jax.lax.scan(step, init, xs)
+    w1e, w2e, p11e, p12e, p21e, p22e = ends  # [..., M]
+    ws1, ws2, ps11, ps12, ps21, ps22 = seq  # [L, ..., M]
+
+    def cstep(c, inp):
+        c1, c2 = c
+        p11, p12, p21, p22, w1, w2 = inp
+        n1 = p11 * c1 + p12 * c2 + w1
+        n2 = p21 * c1 + p22 * c2 + w2
+        return (n1, n2), (n1, n2)
+
+    lead_m = w1e.shape[:-1]
+    c1_0 = jnp.broadcast_to(jnp.asarray(s0_1, b1.dtype), lead_m)
+    c2_0 = jnp.broadcast_to(jnp.asarray(s0_2, b2.dtype), lead_m)
+    _, (cs1, cs2) = jax.lax.scan(
+        cstep, (c1_0, c2_0),
+        tuple(jnp.moveaxis(x, -1, 0)
+              for x in (p11e, p12e, p21e, p22e, w1e, w2e)))
+    cs1 = jnp.moveaxis(cs1, 0, -1)
+    cs2 = jnp.moveaxis(cs2, 0, -1)
+    c1_prev = jnp.concatenate([c1_0[..., None], cs1[..., :-1]], axis=-1)
+    c2_prev = jnp.concatenate([c2_0[..., None], cs2[..., :-1]], axis=-1)
+    s1 = ws1 + ps11 * c1_prev + ps12 * c2_prev
+    s2 = ws2 + ps21 * c1_prev + ps22 * c2_prev
+    s1 = jnp.moveaxis(s1, 0, -1).reshape(lead + (m * l,))[..., :t]
+    s2 = jnp.moveaxis(s2, 0, -1).reshape(lead + (m * l,))[..., :t]
+    return s1, s2
 
 
 def linear_recurrence(a, b, y0, axis: int = -1, reverse: bool = False):
@@ -73,6 +225,12 @@ def linear_recurrence(a, b, y0, axis: int = -1, reverse: bool = False):
         r = int(np.prod(lead)) if lead else 1
         y = iir1_scan(a.reshape(r, t), b.reshape(r, t), y0_full.reshape(r))
         y = y.reshape(lead + (t,))
+        if axis != -1:
+            y = jnp.moveaxis(y, -1, axis)
+        return y
+
+    if not reverse and b.shape[-1] >= _CHUNKED_MIN_T:
+        y = _chunked_first(a, b, y0)
         if axis != -1:
             y = jnp.moveaxis(y, -1, axis)
         return y
@@ -119,6 +277,13 @@ def linear_recurrence_2(a11, a12, a21, a22, b1, b2, s0_1, s0_2, axis: int = -1):
             b1.reshape(r, t), b2.reshape(r, t), s1_full, s2_full)
         s1 = s1.reshape(lead + (t,))
         s2 = s2.reshape(lead + (t,))
+        if axis != -1:
+            s1 = jnp.moveaxis(s1, -1, axis)
+            s2 = jnp.moveaxis(s2, -1, axis)
+        return s1, s2
+
+    if b1.shape[-1] >= _CHUNKED_MIN_T:
+        s1, s2 = _chunked_second(a11, a12, a21, a22, b1, b2, s0_1, s0_2)
         if axis != -1:
             s1 = jnp.moveaxis(s1, -1, axis)
             s2 = jnp.moveaxis(s2, -1, axis)
