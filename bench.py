@@ -116,7 +116,10 @@ def config_mastering():
                                 FilePlaybackOptions(volume=0.4, repeat=None)))
     m.add_effect(GateEffect(threshold=-40.0))
     m.add_effect(CompressorEffect(threshold=-12.0, ratio=4.0))
-    m.add_effect(DelayEffect(delay_ms=300.0, feedback=0.4, wet=0.3))
+    # capacity hint: this chain never automates the delay above 1 s, so the
+    # line (and its per-step read window) needn't cover the 4 s param max
+    m.add_effect(DelayEffect(delay_ms=300.0, feedback=0.4, wet=0.3,
+                             max_delay_capacity_ms=1000.0))
     m.add_effect(DistortionEffect("Diode", drive=1.0, mix=0.3))
     m.add_effect(CompressorEffect.limiter())
     return RenderProgram(m, _mk_config(131072))

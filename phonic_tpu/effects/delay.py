@@ -14,7 +14,9 @@ mini parallel scan with per-sample modulated coefficients, elementwise
 saturation, a first-order DC scan, then one contiguous ring write.  Runtime
 delay times are clamped to >= B+1 samples; construct with a smaller
 ``min_delay_ms`` if automation needs to reach shorter delays (costs scan
-steps).
+steps), and with a smaller ``max_delay_capacity_ms`` when automation never
+exceeds it (shrinks the chronological line and its per-step read window —
+the default allocates the reference's full 4000 ms range).
 
 The LFO uses this engine's deterministic counter-seeded RNG for the random
 waveforms (the reference's is OS-seeded and irreproducible).
@@ -85,7 +87,9 @@ class DelayEffect(Effect):
                  wet: float = 0.5, width: float = 0.5, lfo_rate: float = 1.0,
                  lfo_shape: str = "Sine", lfo_to_time: float = 0.0,
                  lfo_to_feedback: float = 0.0, lfo_to_filter: float = 0.0,
-                 min_delay_ms: float = 40.0, seed: int = 0x5EED, name=None):
+                 min_delay_ms: float = 40.0,
+                 max_delay_capacity_ms: float = MAX_DELAY_MS,
+                 seed: int = 0x5EED, name=None):
         super().__init__(name)
         self.mode = mode
         self.delay_ms = float(delay_ms)
@@ -101,6 +105,14 @@ class DelayEffect(Effect):
         self.lfo_to_feedback = float(lfo_to_feedback)
         self.lfo_to_filter = float(lfo_to_filter)
         self.min_delay_ms = float(min_delay_ms)
+        # capacity hint (like min_delay_ms, but for the top of the range):
+        # the delay line is allocated for this many ms and runtime DELAY_TIME
+        # automation clamps to it.  The default keeps the reference's full
+        # 4000 ms range (delay.rs allocates MAX_DELAY upfront); declaring a
+        # smaller capacity shrinks the per-step read window of the
+        # chronological line (ops/chrono.read_frac cost is linear in it).
+        self.max_delay_capacity_ms = float(
+            np.clip(max_delay_capacity_ms, delay_ms, MAX_DELAY_MS))
         self.seed = seed
 
     def param_initials(self):
@@ -120,12 +132,14 @@ class DelayEffect(Effect):
         return ring_ops.pick_subblock(min_delay, ctx.block_frames)
 
     def batch_key(self, ctx: BuildCtx):
-        # sub-block size and the LFO RNG seed are baked into the trace
-        return (type(self).__name__, self._subblock(ctx), self.seed)
+        # sub-block size, line capacity and the LFO RNG seed are baked in
+        return (type(self).__name__, self._subblock(ctx),
+                self._max_offset(ctx), self.seed)
 
     def _max_offset(self, ctx: BuildCtx) -> int:
         return int(math.ceil(
-            (MAX_DELAY_MS + MAX_LFO_TIME_MOD_MS) * ctx.sample_rate / 1000.0
+            (self.max_delay_capacity_ms + MAX_LFO_TIME_MOD_MS)
+            * ctx.sample_rate / 1000.0
         )) + 4
 
     def init_state(self, ctx: BuildCtx):
@@ -177,7 +191,7 @@ class DelayEffect(Effect):
         )
         delay_samples = jnp.clip(
             delay_ms * 0.001 * sr, float(b + 1),
-            (MAX_DELAY_MS + MAX_LFO_TIME_MOD_MS) * 0.001 * sr,
+            (self.max_delay_capacity_ms + MAX_LFO_TIME_MOD_MS) * 0.001 * sr,
         )
 
         base_fb = params[FEEDBACK.id]

@@ -124,25 +124,41 @@ class GranularConfig:
 # Gather-free grain reads.  Per-element gathers execute at scalar rate on
 # this TPU (~7.6 ns/element): the [G, n] 4-tap Catmull-Rom read alone cost
 # ~390 ms per voice per 131072-frame block, the window-LUT lerp ~195 ms.
-# Both reads are per-grain RAMPS (position advances by a constant per
+# The source read is a per-grain RAMP (position advances by a constant per
 # sample), so each (grain, chunk) touches one or two contiguous source
 # windows; the fractional read then resolves with one-hot row matmuls on
-# the MXU (exact f32 at Precision.HIGHEST), like ops/chrono.py.
+# the MXU.  Like ops/resample.hermite_read_mm, the source data is split
+# into three bf16 components (exact f32 reconstruction to <= 1 ulp) so the
+# one-hot matmul runs at single-pass default bf16 precision instead of
+# Precision.HIGHEST's multi-pass f32 emulation.
 # ---------------------------------------------------------------------------
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _mm_taps(win2, kil, nrows):
-    """Row-matmul tap windows: win2 [R, 128], kil [C] (leftmost tap index,
-    masked entries clamped).  Returns (w0, w1, lo): w0/w1 [C, 128] hold the
-    rows kil//128 and kil//128 + 1."""
+def _split3(x):
+    """f32 -> [..., 3] bf16 components with hi+mid+lo == x to <= 1 ulp."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, mid, lo], axis=-1)
+
+
+def _mm_taps(win3, kil, nrows):
+    """Row-matmul tap windows: win3 [R, 128, 3] bf16 components, kil [C]
+    (leftmost tap index, masked entries clamped).  Returns (w0, w1, lo):
+    w0/w1 [C, 128] f32 hold the reconstructed rows kil//128 and
+    kil//128 + 1."""
     rr = jnp.arange(nrows - 1, dtype=jnp.int32)
     hi = kil >> 7
     lo = kil & 127
-    oh = (hi[:, None] == rr[None, :]).astype(win2.dtype)  # [C, R-1]
-    w0 = jnp.matmul(oh, win2[:-1], precision=_HI)
-    w1 = jnp.matmul(oh, win2[1:], precision=_HI)
+    oh = (hi[:, None] == rr[None, :]).astype(jnp.bfloat16)  # [C, R-1], exact
+    flat = win3.reshape(nrows, 384)
+    w0 = jnp.matmul(oh, flat[:-1], preferred_element_type=jnp.float32)
+    w1 = jnp.matmul(oh, flat[1:], preferred_element_type=jnp.float32)
+    w0 = jnp.sum(w0.reshape(-1, 128, 3), axis=-1)  # exact f32 rebuild
+    w1 = jnp.sum(w1.reshape(-1, 128, 3), axis=-1)
     return w0, w1, lo
 
 
@@ -154,36 +170,67 @@ def _lane_tap(w0, w1, lo, m):
             + jnp.sum(jnp.where(o == m - 128, w1, 0.0), axis=-1))
 
 
+def _window_formula(mode, u):
+    """Analytic evaluation of the 8 window functions at phases ``u``
+    (the same formulas :func:`grain_windows` tabulates; granular.rs:112-196).
+    mode: int32 [G] (constant per grain); u: f32 [G, C]."""
+    two_pi = 2.0 * math.pi
+    m = jnp.asarray(mode, jnp.int32)[:, None]
+    c2 = jnp.cos(two_pi * u)
+    w = jnp.where(m == 0, 0.5 * (1.0 - c2), 0.0)
+    w = jnp.where(m == 1, 0.42 - 0.5 * c2 + 0.08 * jnp.cos(2.0 * two_pi * u), w)
+    w = jnp.where(m == 2, jnp.where(u < 0.5, 2.0 * u, 2.0 * (1.0 - u)), w)
+    tk = 0.25
+    w = jnp.where(
+        m == 3,
+        jnp.where(u < tk, 0.5 * (1.0 - jnp.cos(math.pi * u / tk)),
+                  jnp.where(u > 1.0 - tk,
+                            0.5 * (1.0 - jnp.cos(math.pi * (1.0 - u) / tk)),
+                            1.0)), w)
+    rw = 0.1
+    w = jnp.where(
+        m == 4,
+        jnp.where(u < rw, u / rw,
+                  jnp.where(u > 1.0 - rw, (1.0 - u) / rw, 1.0)), w)
+    w = jnp.where(m == 5, jnp.exp(-6.0 * jnp.abs(u - 0.5)), w)
+    w = jnp.where(
+        m == 6,
+        jnp.where(u < 0.9, u / 0.9,
+                  0.5 * (1.0 + jnp.cos(math.pi * (u - 0.9) / 0.1))), w)
+    w = jnp.where(
+        m == 7,
+        jnp.where(u < 0.1, 0.5 * (1.0 - jnp.cos(math.pi * u / 0.1)),
+                  1.0 - (u - 0.1) / 0.9), w)
+    return w
+
+
 def _window_env_mm(wmode, wphase, table=None):
-    """LUT-lerp window envelope for [G, C] phases with per-grain constant
-    mode — same values as :func:`window_sample` (granular.rs:201-215)."""
-    if table is None:
-        table = jnp.asarray(grain_windows().reshape(-1))
-    g = wmode.shape[0]
+    """Window envelope for [G, C] phases with per-grain constant mode —
+    same values as :func:`window_sample` (granular.rs:201-215).
+
+    Computed as the exact analytic twin of the LUT lerp: the cell index and
+    fraction are derived exactly as the LUT lookup does, then the window
+    formula is evaluated at BOTH cell endpoints and lerped — identical to
+    gathering the precomputed table (to f32 evaluation rounding, ~1e-7),
+    but entirely elementwise.  The previous formulation (one-hot LUT-row
+    matmuls at Precision.HIGHEST per grain) was ~half the cost of the
+    granular render on the target TPU; this one is lane-flat VPU work.
+    ``table`` is accepted for signature compatibility and unused."""
+    del table
     idx_f = jnp.clip(wphase, 0.0, 1.0) * (WINDOW_N - 1)
     idx = jnp.minimum(idx_f.astype(jnp.int32), WINDOW_N - 2)
     frac = idx_f - idx
-    # per-grain table row (mode is constant per grain): exact one-hot pick
-    modes = jnp.arange(8, dtype=jnp.int32)
-    oh_m = (jnp.asarray(wmode, jnp.int32)[:, None] == modes[None, :]).astype(
-        table.dtype)
-    tab = jnp.matmul(oh_m, table.reshape(8, WINDOW_N), precision=_HI)  # [G, 2048]
-    nrows = WINDOW_N // 128 + 1
-    tab = jnp.pad(tab, ((0, 0), (0, nrows * 128 - WINDOW_N)))
-
-    def per_grain(tab_g, idx_g, frac_g):
-        w0, w1, lo = _mm_taps(tab_g.reshape(nrows, 128), idx_g, nrows)
-        a = _lane_tap(w0, w1, lo, 0)
-        b = _lane_tap(w0, w1, lo, 1)
-        return a * (1.0 - frac_g) + b * frac_g
-
-    return jax.vmap(per_grain)(tab, idx, frac)
+    inv_n = 1.0 / WINDOW_N
+    a = _window_formula(wmode, idx.astype(jnp.float32) * inv_n)
+    b = _window_formula(wmode, (idx + 1).astype(jnp.float32) * inv_n)
+    return a * (1.0 - frac) + b * frac
 
 
 def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
     """4-point Catmull-Rom read of folded positions ``fidx`` [G, C] from the
-    circularly-extended source ``ext`` (ext[e] = tap value at coordinate
-    e - 1; taps wrap on the file circle, granular.rs:899-933).
+    circularly-extended bf16x3-split source ``ext`` [E, 3] (component sum at
+    e = tap value at coordinate e - 1; taps wrap on the file circle,
+    granular.rs:899-933).
 
     Each grain's positions are a ramp folded into a circle (global wrap or
     loop range), so all taps of a chunk live in at most two contiguous
@@ -198,7 +245,7 @@ def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
     rows_w = span // 128 + 2
     w = rows_w * 128
     nrows = 2 * (rows_w + 1)
-    ext_len = ext.shape[0]
+    ext_len = ext.shape[-2]
 
     i1 = jnp.minimum(fidx.astype(jnp.int32), frames - 1)
     frac = fidx - i1.astype(jnp.float32)
@@ -216,9 +263,10 @@ def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
 
     def fetch(anchor):
         return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(ext, (s,), (w + 128,)))(anchor + 1)
+            lambda s: jax.lax.dynamic_slice(
+                ext, (s, jnp.zeros_like(s)), (w + 128, 3)))(anchor + 1)
 
-    win = jnp.concatenate([fetch(a0), fetch(a1)], axis=-1)  # [G, 2(w+128)]
+    win = jnp.concatenate([fetch(a0), fetch(a1)], axis=-2)  # [G, 2(w+128), 3]
 
     kil0 = i1 - 1 - a0[:, None]
     kil1 = i1 - 1 - a1[:, None]
@@ -234,7 +282,7 @@ def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
            0.5 * f + 2.0 * f2 - 1.5 * f3, 0.5 * (f3 - f2))
 
     def per_grain(win_g, kil_g, w0t, w1t, w2t, w3t):
-        w0, w1, lo = _mm_taps(win_g.reshape(nrows, 128), kil_g, nrows)
+        w0, w1, lo = _mm_taps(win_g.reshape(nrows, 128, 3), kil_g, nrows)
         out = (_lane_tap(w0, w1, lo, 0) * w0t
                + _lane_tap(w0, w1, lo, 1) * w1t
                + _lane_tap(w0, w1, lo, 2) * w2t
@@ -247,19 +295,21 @@ def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
 
 def source_ext(mono_buf, span: int):
     """Circularly-extended tap buffer for :func:`_source_read_mm`:
-    ext[e] = g(e - 1) where g(-1) = buf[frames-1], g(0..frames-1) = buf,
-    g(frames) = buf[0] (the file-circle tap wrap), zero-padded so any
-    clamped window fetch stays in range."""
+    sum of components at e = g(e - 1) where g(-1) = buf[frames-1],
+    g(0..frames-1) = buf, g(frames) = buf[0] (the file-circle tap wrap),
+    zero-padded so any clamped window fetch stays in range.  Returns the
+    bf16x3 split [E, 3] consumed by the single-pass one-hot matmuls."""
     frames = mono_buf.shape[0]
     w = (span // 128 + 2) * 128
     # always pad a full window past the top so anchor clamping never binds
     # for in-range positions (fetches may extend past coordinate `frames`;
     # the pad lanes are never selected)
     pad = w + 132
-    return jnp.concatenate([
+    ext = jnp.concatenate([
         mono_buf[-1:], mono_buf, mono_buf[:1],
         jnp.zeros((pad,), mono_buf.dtype),
     ])
+    return _split3(ext)
 
 
 def grain_state_init(pool: int = POOL_SIZE):
@@ -305,6 +355,7 @@ def granular_voice_block(
     seed: int,
     max_triggers: int,
     max_read_speed: float = 4.0,
+    mono_ext=None,  # optional precomputed source_ext(mono_buf, span) [E, 3]
 ):
     """Render one voice's granular output for a block -> (state, [2, n])."""
     frames = mono_buf.shape[0]
@@ -475,7 +526,8 @@ def granular_voice_block(
         span = int(math.ceil(n * max_read_speed)) + 8
         lf = jnp.float32(frames - 1)
         s = _source_read_mm(
-            source_ext(mono_buf, span), frames, fidx,
+            mono_ext if mono_ext is not None else source_ext(mono_buf, span),
+            frames, fidx,
             d=slots["g_inc"] * lf,
             loop_s=jnp.where(slots["g_loop"] > 0.5, ls, 0.0) * lf,
             loop_len=jnp.where(slots["g_loop"] > 0.5, ll, 1.0) * lf,

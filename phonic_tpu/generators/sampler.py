@@ -785,7 +785,7 @@ class Sampler(Generator):
                 window_mode=wmode, direction=direction,
             )
 
-            def run_chunk(gs, t0, cn, mt):
+            def run_chunk(gs, t0, cn, mt, ext):
                 sl = {k: jax.lax.dynamic_slice(v, (t0,), (cn,))
                       for k, v in per_sample.items()}
                 return granular_voice_block(
@@ -793,7 +793,7 @@ class Sampler(Generator):
                     loop_range=loop_norm, window_table=gwin,
                     note_start=note_start, overlap_mode=overlap,
                     seed=self.seed ^ (voice_idx + 1) * 0x51ED,
-                    max_triggers=mt,
+                    max_triggers=mt, mono_ext=ext,
                     max_read_speed=self.granular.max_read_speed, **sl)
 
             # Big blocks run the grain engine as a scan over sub-chunks: a
@@ -802,19 +802,36 @@ class Sampler(Generator):
             # slot pool supports at most ~pool/density seconds per chunk —
             # chunking restores that invariant at any block size while
             # keeping one dispatch per block.
+            from .granular import source_ext
+
+            # mm reads only run on TPU (granular_voice_block routes by
+            # backend); skip the bf16x3 ext build on CPU
+            mm = jax.default_backend() in ("tpu", "axon")
+
             if n > _GRANULAR_CHUNK and n % _GRANULAR_CHUNK == 0:
                 cn = _GRANULAR_CHUNK
                 mt = int(math.ceil(100.0 * cn / sr)) + 2
+                # bf16x3 split of the circularly-extended source, hoisted
+                # out of the chunk scan (loop-invariant)
+                ext = source_ext(
+                    mono,
+                    int(math.ceil(cn * self.granular.max_read_speed)) + 8
+                ) if mm else None
 
                 def chunk_body(gs, ci):
-                    return run_chunk(gs, ci * cn, cn, mt)
+                    return run_chunk(gs, ci * cn, cn, mt, ext)
 
                 gr_state, autos = jax.lax.scan(
                     chunk_body, gr_state,
                     jnp.arange(n // cn, dtype=jnp.int32))
                 audio = jnp.moveaxis(autos, 0, 1).reshape(autos.shape[1], n)
             else:
-                gr_state, audio = run_chunk(gr_state, jnp.int32(0), n, max_trig)
+                ext = source_ext(
+                    mono,
+                    int(math.ceil(n * self.granular.max_read_speed)) + 8
+                ) if mm else None
+                gr_state, audio = run_chunk(gr_state, jnp.int32(0), n,
+                                            max_trig, ext)
 
             # voice-level AHDSR (applied after the grain mix, voice.rs:470-486)
             if env_p is not None:
