@@ -127,38 +127,25 @@ class GranularConfig:
 # The source read is a per-grain RAMP (position advances by a constant per
 # sample), so each (grain, chunk) touches one or two contiguous source
 # windows; the fractional read then resolves with one-hot row matmuls on
-# the MXU.  Like ops/resample.hermite_read_mm, the source data is split
-# into three bf16 components (exact f32 reconstruction to <= 1 ulp) so the
-# one-hot matmul runs at single-pass default bf16 precision instead of
-# Precision.HIGHEST's multi-pass f32 emulation.
+# the MXU (exact f32 at Precision.HIGHEST), like ops/chrono.py.
+# (A bf16x3-split single-pass variant measured 2.7x SLOWER in-graph on the
+# target TPU — the wider interleaved-component operand defeats the matmul
+# epilogue fusion — so the reads stay f32 HIGHEST.)
 # ---------------------------------------------------------------------------
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _split3(x):
-    """f32 -> [..., 3] bf16 components with hi+mid+lo == x to <= 1 ulp."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.stack([hi, mid, lo], axis=-1)
-
-
-def _mm_taps(win3, kil, nrows):
-    """Row-matmul tap windows: win3 [R, 128, 3] bf16 components, kil [C]
-    (leftmost tap index, masked entries clamped).  Returns (w0, w1, lo):
-    w0/w1 [C, 128] f32 hold the reconstructed rows kil//128 and
-    kil//128 + 1."""
+def _mm_taps(win2, kil, nrows):
+    """Row-matmul tap windows: win2 [R, 128], kil [C] (leftmost tap index,
+    masked entries clamped).  Returns (w0, w1, lo): w0/w1 [C, 128] hold the
+    rows kil//128 and kil//128 + 1."""
     rr = jnp.arange(nrows - 1, dtype=jnp.int32)
     hi = kil >> 7
     lo = kil & 127
-    oh = (hi[:, None] == rr[None, :]).astype(jnp.bfloat16)  # [C, R-1], exact
-    flat = win3.reshape(nrows, 384)
-    w0 = jnp.matmul(oh, flat[:-1], preferred_element_type=jnp.float32)
-    w1 = jnp.matmul(oh, flat[1:], preferred_element_type=jnp.float32)
-    w0 = jnp.sum(w0.reshape(-1, 128, 3), axis=-1)  # exact f32 rebuild
-    w1 = jnp.sum(w1.reshape(-1, 128, 3), axis=-1)
+    oh = (hi[:, None] == rr[None, :]).astype(win2.dtype)  # [C, R-1]
+    w0 = jnp.matmul(oh, win2[:-1], precision=_HI)
+    w1 = jnp.matmul(oh, win2[1:], precision=_HI)
     return w0, w1, lo
 
 
@@ -228,9 +215,8 @@ def _window_env_mm(wmode, wphase, table=None):
 
 def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
     """4-point Catmull-Rom read of folded positions ``fidx`` [G, C] from the
-    circularly-extended bf16x3-split source ``ext`` [E, 3] (component sum at
-    e = tap value at coordinate e - 1; taps wrap on the file circle,
-    granular.rs:899-933).
+    circularly-extended source ``ext`` (ext[e] = tap value at coordinate
+    e - 1; taps wrap on the file circle, granular.rs:899-933).
 
     Each grain's positions are a ramp folded into a circle (global wrap or
     loop range), so all taps of a chunk live in at most two contiguous
@@ -245,7 +231,7 @@ def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
     rows_w = span // 128 + 2
     w = rows_w * 128
     nrows = 2 * (rows_w + 1)
-    ext_len = ext.shape[-2]
+    ext_len = ext.shape[0]
 
     i1 = jnp.minimum(fidx.astype(jnp.int32), frames - 1)
     frac = fidx - i1.astype(jnp.float32)
@@ -263,10 +249,9 @@ def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
 
     def fetch(anchor):
         return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(
-                ext, (s, jnp.zeros_like(s)), (w + 128, 3)))(anchor + 1)
+            lambda s: jax.lax.dynamic_slice(ext, (s,), (w + 128,)))(anchor + 1)
 
-    win = jnp.concatenate([fetch(a0), fetch(a1)], axis=-2)  # [G, 2(w+128), 3]
+    win = jnp.concatenate([fetch(a0), fetch(a1)], axis=-1)  # [G, 2(w+128)]
 
     kil0 = i1 - 1 - a0[:, None]
     kil1 = i1 - 1 - a1[:, None]
@@ -282,7 +267,7 @@ def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
            0.5 * f + 2.0 * f2 - 1.5 * f3, 0.5 * (f3 - f2))
 
     def per_grain(win_g, kil_g, w0t, w1t, w2t, w3t):
-        w0, w1, lo = _mm_taps(win_g.reshape(nrows, 128, 3), kil_g, nrows)
+        w0, w1, lo = _mm_taps(win_g.reshape(nrows, 128), kil_g, nrows)
         out = (_lane_tap(w0, w1, lo, 0) * w0t
                + _lane_tap(w0, w1, lo, 1) * w1t
                + _lane_tap(w0, w1, lo, 2) * w2t
@@ -295,21 +280,19 @@ def _source_read_mm(ext, frames, fidx, d, loop_s, loop_len, first_j, span):
 
 def source_ext(mono_buf, span: int):
     """Circularly-extended tap buffer for :func:`_source_read_mm`:
-    sum of components at e = g(e - 1) where g(-1) = buf[frames-1],
-    g(0..frames-1) = buf, g(frames) = buf[0] (the file-circle tap wrap),
-    zero-padded so any clamped window fetch stays in range.  Returns the
-    bf16x3 split [E, 3] consumed by the single-pass one-hot matmuls."""
+    ext[e] = g(e - 1) where g(-1) = buf[frames-1], g(0..frames-1) = buf,
+    g(frames) = buf[0] (the file-circle tap wrap), zero-padded so any
+    clamped window fetch stays in range."""
     frames = mono_buf.shape[0]
     w = (span // 128 + 2) * 128
     # always pad a full window past the top so anchor clamping never binds
     # for in-range positions (fetches may extend past coordinate `frames`;
     # the pad lanes are never selected)
     pad = w + 132
-    ext = jnp.concatenate([
+    return jnp.concatenate([
         mono_buf[-1:], mono_buf, mono_buf[:1],
         jnp.zeros((pad,), mono_buf.dtype),
     ])
-    return _split3(ext)
 
 
 def grain_state_init(pool: int = POOL_SIZE):

@@ -176,12 +176,12 @@ class Sampler(Generator):
         """LeafBatch stacking hook: zero-pad each lane's sample buffer to
         the group's longest (the live length rides in as the traced
         `_buf_frames` input, so mixed-length banks share one trace).
-        Buffers are mm-packed [R-1, 256, ch, 3] or planar [ch, F]
-        (long-buffer gather fallback); the group key pins the format, so a
-        group is never mixed."""
+        Buffers are mm-packed [R, 128, ch] or planar [ch, F] (long-buffer
+        gather fallback); the group key pins the format, so a group is
+        never mixed."""
         out = []
         bufs = [np.asarray(st["buf"]) for st in states]
-        packed = bufs[0].ndim == 4  # mm pair rows vs planar [ch, F]
+        packed = bufs[0].ndim == 3  # [R, 128, ch] mm rows vs planar [ch, F]
         axis = 0 if packed else bufs[0].ndim - 1
         nmax = max(b.shape[axis] for b in bufs)
         for st, buf in zip(states, bufs):

@@ -10,11 +10,11 @@ linearly under lane vmap).  Here the delay line is stored as an
 ABSOLUTE-TIME buffer: ``big = history ++ this block's writes``.  Per
 sub-block step the write is one contiguous ``dynamic_update_slice`` and the
 read resolves inside one contiguous window ``big[:, t0 : t0 + H + B]``
-through one-hot row matmuls on the MXU.  The window is split into three
-bf16 components (hi + mid + lo reconstructs f32 to <= 1 ulp) so the matmul
-runs single-pass at default bf16 precision with f32 accumulation — the
-selected values match the gathered f32 to <= 1 ulp, and the lerp uses the
-same ``v1 + (v2 - v1) * frac`` expression as ring_read_frac.
+through one-hot row matmuls on the MXU (one-hot matmuls at
+``Precision.HIGHEST`` reproduce the gathered f32 values exactly; the lerp
+uses the same ``v1 + (v2 - v1) * frac`` expression as ring_read_frac).
+(A bf16x3-split single-pass variant measured SLOWER in-graph on the target
+TPU — wider interleaved operands defeat the epilogue fusion.)
 
 float64 strict-parity renders use the same chronological layout with a
 plain take-based read (MXU is f32; the gather cost is acceptable there).
@@ -108,28 +108,18 @@ def read_frac(big, H: int, t0, offsets):
         return v1 + (v2 - v1) * frac
 
     rows = (H + b) // _LANE
-    # bf16x3 split (hi + mid + lo == win to <= 1 ulp): the one-hot matmul
-    # then runs at single-pass default bf16 precision with f32 accumulation
-    # instead of Precision.HIGHEST's multi-pass f32 emulation (~2x cheaper;
-    # the one-hot side is 0/1, exact in bf16)
-    w_hi = win.astype(jnp.bfloat16)
-    r1 = win - w_hi.astype(win.dtype)
-    w_mid = r1.astype(jnp.bfloat16)
-    w_lo = (r1 - w_mid.astype(win.dtype)).astype(jnp.bfloat16)
-    win3 = jnp.stack([w_hi, w_mid, w_lo], axis=-1).reshape(
-        ch, rows, _LANE * 3)
+    win2 = win.reshape(ch, rows, _LANE)
     hi = rel >> 7
     lo = rel & 127
     rr = jnp.arange(rows - 1, dtype=jnp.int32)
     lanes = jnp.arange(_LANE, dtype=jnp.int32)
 
     def mm(oh_hi, oh_lo, w2):
-        # [B, rows-1] one-hots select row hi and hi+1 (component triples)
-        oh = (oh_hi[:, None] == rr[None, :]).astype(jnp.bfloat16)
-        w0 = jnp.matmul(oh, w2[:-1], preferred_element_type=jnp.float32)
-        w1 = jnp.matmul(oh, w2[1:], preferred_element_type=jnp.float32)
-        w0 = jnp.sum(w0.reshape(-1, _LANE, 3), axis=-1)  # exact f32 rebuild
-        w1 = jnp.sum(w1.reshape(-1, _LANE, 3), axis=-1)
+        # [B, rows-1] one-hots select row hi and hi+1; the 1.0 entries make
+        # the matmul an exact f32 copy at Precision.HIGHEST
+        oh = (oh_hi[:, None] == rr[None, :]).astype(w2.dtype)
+        w0 = jnp.matmul(oh, w2[:-1], precision=jax.lax.Precision.HIGHEST)
+        w1 = jnp.matmul(oh, w2[1:], precision=jax.lax.Precision.HIGHEST)
         o = lanes[None, :] - oh_lo[:, None]  # [B, 128]
         # tap lo is always inside w0; tap lo+1 spills into w1 lane 0 when
         # lo == 127 (o == 1 - 128 selects exactly that lane)
@@ -139,7 +129,7 @@ def read_frac(big, H: int, t0, offsets):
         return v1, v2
 
     if per_channel:
-        v1, v2 = jax.vmap(mm)(hi, lo, win3)
+        v1, v2 = jax.vmap(mm)(hi, lo, win2)
     else:
-        v1, v2 = jax.vmap(mm, in_axes=(None, None, 0))(hi, lo, win3)
+        v1, v2 = jax.vmap(mm, in_axes=(None, None, 0))(hi, lo, win2)
     return v1 + (v2 - v1) * frac

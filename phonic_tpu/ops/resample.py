@@ -76,23 +76,15 @@ def catmull_rom_read(buf, positions, fill=0.0):
 # Per-element gathers (jnp.take over computed indices) execute at scalar
 # rate on this TPU backend (~70 ns/element: a 131072-position Hermite read
 # costs ~9 ms, and 16 vmapped sources ~400 ms/block).  The MXU formulation
-# replaces the gather with a one-hot row-matmul: the buffer is packed into
-# overlapping 256-sample row pairs [R-1, 256, ch]; for each output chunk a
-# [C, R-1] one-hot selects the pair containing the read position, giving a
+# replaces the gather with two one-hot row-matmuls: the buffer is packed
+# into [R, 128, ch] rows; for each output chunk a [C, R-1] one-hot selects
+# rows hi and hi+1 (two matmuls against consecutive row views), giving a
 # [C, 256, ch] window that contains all four Hermite taps; the taps are
-# then combined with a masked per-tap weight matrix on the VPU.
-#
-# Exactness + speed: a one-hot matmul only needs the DATA side exact —
-# 1.0 * x is exact in any precision, the error would come from rounding x
-# itself to bf16 on MXU entry.  So the pack splits every f32 sample into
-# three bf16 components (hi + mid + lo covers the full 24-bit mantissa) and
-# the kernel runs ONE default-precision bf16 matmul with f32 accumulation,
-# summing the three components afterwards — f32-exact to <= 1 ulp at
-# single-pass MXU rate.  The previous formulation (f32 operands at
-# Precision.HIGHEST = several bf16 passes, two matmuls) measured ~4x
-# slower and was the dominant per-lane cost of the 16-source bench graph.
-# The only deviation from `hermite_read` is the tap-combination rounding
-# order (x-form Horner vs per-tap weights), well below -120 dB.
+# then combined with a masked per-tap weight matrix on the VPU.  One-hot
+# matmuls at Precision.HIGHEST are EXACT in f32 (1.0 * x with bf16x3
+# decomposition reconstructs x bit-exactly; 0.0 terms stay 0), so the only
+# deviation from `hermite_read` is the tap-combination rounding order
+# (x-form Horner vs per-tap weights), well below -120 dB.
 
 MM_PAD_LEFT = 4  # zero frames packed before sample 0 (covers taps of pos>=-4)
 
@@ -126,27 +118,13 @@ def length_bucket(frames: int) -> int:
     return max(int(frames).bit_length() - 16, 0)
 
 
-def _bf16_split3(a):
-    """Split float32 into three bfloat16 components with hi+mid+lo == a to
-    <= 1 ulp (24-bit mantissa covered by 3x8).  NumPy/host only."""
-    import ml_dtypes
-
-    a = np.asarray(a, np.float32)
-    hi = a.astype(ml_dtypes.bfloat16)
-    r1 = a - hi.astype(np.float32)
-    mid = r1.astype(ml_dtypes.bfloat16)
-    lo = (r1 - mid.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return np.stack([hi, mid, lo], axis=-1)  # [..., 3] bf16
-
-
 def mm_pack(buf, pad_left: int = MM_PAD_LEFT):
     """Host-side packing for :func:`hermite_read_mm`.
 
-    buf: [..., ch, frames] float array.  Returns bfloat16
-    [..., R-1, 256, ch, 3]: overlapping 256-sample row pairs (row i covers
-    packed samples [128*i, 128*i + 256)) with ``pad_left`` zero frames
-    before sample 0 and zero padding past the end, each f32 sample split
-    into three bf16 components (see module comment; R = :func:`mm_rows`).
+    buf: [..., ch, frames] float array.  Returns float32
+    [..., R, 128, ch] with ``pad_left`` zero frames before sample 0, zero
+    padding up to a multiple of 128, and one extra zero row (so row hi+1
+    always exists).
     """
     a = np.asarray(buf, np.float32)
     frames = a.shape[-1]
@@ -154,11 +132,8 @@ def mm_pack(buf, pad_left: int = MM_PAD_LEFT):
     r = rows_data + 1
     out = np.zeros(a.shape[:-1] + (r * 128,), np.float32)
     out[..., pad_left:pad_left + frames] = a
-    # overlapping pairs: pair i = samples [128i, 128i+256)
-    idx = (np.arange(r - 1)[:, None] * 128 + np.arange(256)[None, :])
-    pairs = out[..., idx]  # [..., ch, R-1, 256]
-    pairs = np.moveaxis(pairs, -3, -1)  # [..., R-1, 256, ch]
-    return np.ascontiguousarray(_bf16_split3(pairs))  # [..., R-1, 256, ch, 3]
+    out = out.reshape(a.shape[:-1] + (r, 128))
+    return np.ascontiguousarray(np.moveaxis(out, -3, -1))  # [..., R, 128, ch]
 
 
 def hermite_read_mm(bufmm, positions, chunk: int = 2048,
@@ -169,10 +144,10 @@ def hermite_read_mm(bufmm, positions, chunk: int = 2048,
     access); out-of-range positions contribute zeros, matching
     ``hermite_read(buf, positions)`` with the default ``fill=0.0``.
 
-    bufmm: [R-1, 256, ch, 3] bf16; positions: [n].  Returns [ch, n] f32.
+    bufmm: [R, 128, ch]; positions: [n].  Returns [ch, n].
     """
-    r = bufmm.shape[-4] + 1
-    ch = bufmm.shape[-2]
+    r = bufmm.shape[-3]
+    ch = bufmm.shape[-1]
     pos = jnp.asarray(positions, jnp.float32)
     n = pos.shape[-1]
     k = jnp.floor(pos)
@@ -188,7 +163,7 @@ def hermite_read_mm(bufmm, positions, chunk: int = 2048,
         kil = jnp.pad(kil, (0, npad - n))
         frac = jnp.pad(frac, (0, npad - n))
     nc = npad // c
-    flat = bufmm.reshape(r - 1, 256 * ch * 3)  # bf16
+    flat = bufmm.reshape(r, 128 * ch)
     rows = jnp.arange(r - 1, dtype=jnp.int32)
     taps = jnp.arange(256, dtype=jnp.int32)
 
@@ -196,9 +171,11 @@ def hermite_read_mm(bufmm, positions, chunk: int = 2048,
         kil_c, frac_c = args  # [C]
         hi = kil_c >> 7
         lo = kil_c & 127
-        oh = (hi[:, None] == rows).astype(jnp.bfloat16)  # [C, R-1], exact
-        w3 = jnp.matmul(oh, flat, preferred_element_type=jnp.float32)
-        win = jnp.sum(w3.reshape(c, 256, ch, 3), axis=-1)  # exact f32 rebuild
+        oh = (hi[:, None] == rows).astype(flat.dtype)  # [C, R-1]
+        w0 = jnp.matmul(oh, flat[:-1], precision=jax.lax.Precision.HIGHEST)
+        w1 = jnp.matmul(oh, flat[1:], precision=jax.lax.Precision.HIGHEST)
+        win = jnp.concatenate(
+            [w0.reshape(c, 128, ch), w1.reshape(c, 128, ch)], axis=1)
         o = taps[None, :] - lo[:, None]  # [C, 256]
         f = frac_c[:, None]
         f2 = f * f
