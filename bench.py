@@ -155,16 +155,26 @@ def config_player_rt():
 CONFIGS = {
     # headline first: if a harness-level time budget cuts the run short,
     # the metric that matters is already recorded (results are written
-    # incrementally)
+    # incrementally).  Plain x8/x16 lane sweeps were dropped from the
+    # driver bench (wall time is ~proportional to total work on this
+    # backend, so they repeat the x1 number while burning two compile
+    # budgets — docs/PERF.md); the scan8 x16 aggregate shape still runs.
     "mixer_graph_16src": config_mixer_graph,
-    "player_rt_8192": config_player_rt,
     "play_file": config_play_file,
     "sampler_64v": config_sampler_64,
     "granular_1k": config_granular_1k,
     "mastering_chain": config_mastering,
+    "player_rt_8192": config_player_rt,
 }
 
 HEADLINE = "mixer_graph_16src"
+
+# Whole-bench deadline (seconds).  The r3 driver run died at rc=124 with
+# only one config recorded; per-config alarms alone cannot bound the sum.
+# Configs that would start after the deadline are skipped (still recorded)
+# and the final JSON line always prints.
+TOTAL_BUDGET_S = float(__import__("os").environ.get(
+    "PHONIC_BENCH_BUDGET_S", "540"))
 
 
 def bench_program(prog, min_iters=10, min_secs=1.0, lanes=1):
@@ -264,50 +274,42 @@ def main():
         raise _Budget()
 
     signal.signal(signal.SIGALRM, alarm)
+    t_start = time.perf_counter()
     results = {}
-    for name, make in CONFIGS.items():
-        for lanes in ([1, 8, 16] if name == HEADLINE else [1]):
-            key = name if lanes == 1 else f"{name}_x{lanes}lanes"
-            try:
-                # per-config budget; laned big-block programs and the
-                # Player-shaped pump cold-compile for several minutes
-                signal.alarm(420 if (lanes == 1 and name != "player_rt_8192")
-                             else 600)
-                rt = bench_program(make(), lanes=lanes)
-                results[key] = round(rt, 2)
-                print(f"  {key}: {rt:.1f}x realtime", file=sys.stderr)
-            except _Budget:
-                results[key] = "skipped: time budget"
-                print(f"  {key}: SKIPPED (budget)", file=sys.stderr)
-            except Exception as e:  # a config failure shouldn't kill the bench
-                results[key] = f"error: {e}"
-                print(f"  {key}: ERROR {e}", file=sys.stderr)
-            finally:
-                signal.alarm(0)
-            # write incrementally so a harness-level timeout keeps partials
-            with open("bench_results.json", "w") as f:
-                json.dump(results, f, indent=1)
-        if name == HEADLINE:
-            key = f"{HEADLINE}_x16lanes_scan8"
-            try:
-                signal.alarm(600)
-                rt = bench_scan(make(), lanes=16, scan_blocks=8)
-                results[key] = round(rt, 2)
-                print(f"  {key}: {rt:.1f}x realtime", file=sys.stderr)
-            except _Budget:
-                results[key] = "skipped: time budget"
-                print(f"  {key}: SKIPPED (budget)", file=sys.stderr)
-            except Exception as e:
-                results[key] = f"error: {e}"
-                print(f"  {key}: ERROR {e}", file=sys.stderr)
-            finally:
-                signal.alarm(0)
-            with open("bench_results.json", "w") as f:
-                json.dump(results, f, indent=1)
 
-    candidates = [results.get(f"{HEADLINE}_x16lanes_scan8")] + \
-                 [results.get(f"{HEADLINE}_x{k}lanes")
-                  for k in (16, 8)] + [results.get(HEADLINE)]
+    def run_one(key, budget_s, fn):
+        left = TOTAL_BUDGET_S - (time.perf_counter() - t_start)
+        if left < 30.0:
+            results[key] = "skipped: total budget"
+            print(f"  {key}: SKIPPED (total budget)", file=sys.stderr)
+        else:
+            try:
+                signal.alarm(int(min(budget_s, left)))
+                rt = fn()
+                results[key] = round(rt, 2)
+                print(f"  {key}: {rt:.1f}x realtime", file=sys.stderr)
+            except _Budget:
+                results[key] = "skipped: time budget"
+                print(f"  {key}: SKIPPED (budget)", file=sys.stderr)
+            except Exception as e:  # config failure shouldn't kill the bench
+                results[key] = f"error: {e}"
+                print(f"  {key}: ERROR {e}", file=sys.stderr)
+            finally:
+                signal.alarm(0)
+        # write incrementally so a harness-level timeout keeps partials
+        with open("bench_results.json", "w") as f:
+            json.dump(results, f, indent=1)
+
+    for name, make in CONFIGS.items():
+        run_one(name, 420 if name != "player_rt_8192" else 300,
+                lambda make=make: bench_program(make()))
+        if name == HEADLINE:
+            run_one(f"{HEADLINE}_x16lanes_scan8", 420,
+                    lambda: bench_scan(config_mixer_graph(),
+                                       lanes=16, scan_blocks=8))
+
+    candidates = [results.get(f"{HEADLINE}_x16lanes_scan8"),
+                  results.get(HEADLINE)]
     numeric = [v for v in candidates if isinstance(v, (int, float))]
     value = max(numeric) if numeric else 0.0
     print(json.dumps({

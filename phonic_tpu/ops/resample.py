@@ -88,19 +88,27 @@ def catmull_rom_read(buf, positions, fill=0.0):
 
 MM_PAD_LEFT = 4  # zero frames packed before sample 0 (covers taps of pos>=-4)
 
-# The per-chunk one-hot is a materialized [chunk, R-1] f32 matrix and the
-# two row-matmuls are linear in R, while the gather it replaces is O(n) in
+# Rows are packed at stride MM_STRIDE < 128 so they OVERLAP by 4 samples:
+# all four Hermite taps of any position then live inside ONE row, which
+# halves the matmul bill (one row-select instead of the r/r+1 pair) and
+# shrinks the tap-combination epilogue from a 256-wide to a 128-wide pass
+# (measured 123 -> 51 ms at the 256-lane engine shape, bit-exact —
+# scripts/probe_mmread4.py).
+MM_STRIDE = 124
+
+# The per-chunk one-hot is a materialized [chunk, R] f32 matrix and the
+# row-matmul is linear in R, while the gather it replaces is O(n) in
 # positions and independent of buffer length — so above a row threshold the
 # matmul loses (and its transients grow unboundedly: R~62k for a 3-minute
 # 44.1 kHz file would mean ~0.5 GB per 2048-chunk).  Break-even from the
 # measured costs on this backend (gather ~9 ms / 131072 positions;
 # mm ~1 ms at R=376): R ~ 3000.
-MM_MAX_ROWS = 3072  # ~8.2 s of 48 kHz audio
+MM_MAX_ROWS = 3072  # ~7.9 s of 48 kHz audio
 
 
 def mm_rows(frames: int, pad_left: int = MM_PAD_LEFT) -> int:
     """Packed row count :func:`mm_pack` produces for a ``frames``-long buffer."""
-    return -(-(pad_left + int(frames)) // 128) + 1
+    return -(-(pad_left + int(frames) + 3) // MM_STRIDE) + 1
 
 
 def use_mm(frames: int) -> bool:
@@ -122,17 +130,17 @@ def mm_pack(buf, pad_left: int = MM_PAD_LEFT):
     """Host-side packing for :func:`hermite_read_mm`.
 
     buf: [..., ch, frames] float array.  Returns float32
-    [..., R, 128, ch] with ``pad_left`` zero frames before sample 0, zero
-    padding up to a multiple of 128, and one extra zero row (so row hi+1
-    always exists).
+    [..., R, 128, ch]: 128-wide rows at stride :data:`MM_STRIDE` (4-sample
+    overlap, so any tap quad fits one row), ``pad_left`` zero frames before
+    sample 0, zero padding past the end.
     """
     a = np.asarray(buf, np.float32)
     frames = a.shape[-1]
-    rows_data = -(-(pad_left + frames) // 128)
-    r = rows_data + 1
-    out = np.zeros(a.shape[:-1] + (r * 128,), np.float32)
-    out[..., pad_left:pad_left + frames] = a
-    out = out.reshape(a.shape[:-1] + (r, 128))
+    r = mm_rows(frames, pad_left)
+    flat = np.zeros(a.shape[:-1] + ((r - 1) * MM_STRIDE + 128,), np.float32)
+    flat[..., pad_left:pad_left + frames] = a
+    idx = np.arange(r)[:, None] * MM_STRIDE + np.arange(128)[None, :]
+    out = flat[..., idx]  # [..., ch, R, 128]
     return np.ascontiguousarray(np.moveaxis(out, -3, -1))  # [..., R, 128, ch]
 
 
@@ -153,7 +161,7 @@ def hermite_read_mm(bufmm, positions, chunk: int = 2048,
     k = jnp.floor(pos)
     frac = pos - k
     kil = k.astype(jnp.int32) - 1 + pad_left  # leftmost tap, packed index
-    lim = 128 * (r - 1) - 1
+    lim = MM_STRIDE * (r - 1) + 124  # all 4 taps stay inside the last row
     valid = (kil >= 0) & (kil <= lim)
     kil = jnp.clip(kil, 0, lim)
 
@@ -164,19 +172,17 @@ def hermite_read_mm(bufmm, positions, chunk: int = 2048,
         frac = jnp.pad(frac, (0, npad - n))
     nc = npad // c
     flat = bufmm.reshape(r, 128 * ch)
-    rows = jnp.arange(r - 1, dtype=jnp.int32)
-    taps = jnp.arange(256, dtype=jnp.int32)
+    rows = jnp.arange(r, dtype=jnp.int32)
+    taps = jnp.arange(128, dtype=jnp.int32)
 
     def body(args):
         kil_c, frac_c = args  # [C]
-        hi = kil_c >> 7
-        lo = kil_c & 127
-        oh = (hi[:, None] == rows).astype(flat.dtype)  # [C, R-1]
-        w0 = jnp.matmul(oh, flat[:-1], precision=jax.lax.Precision.HIGHEST)
-        w1 = jnp.matmul(oh, flat[1:], precision=jax.lax.Precision.HIGHEST)
-        win = jnp.concatenate(
-            [w0.reshape(c, 128, ch), w1.reshape(c, 128, ch)], axis=1)
-        o = taps[None, :] - lo[:, None]  # [C, 256]
+        hi = kil_c // MM_STRIDE
+        lo = kil_c - hi * MM_STRIDE  # 0..123; taps lo..lo+3 inside the row
+        oh = (hi[:, None] == rows).astype(flat.dtype)  # [C, R]
+        win = jnp.matmul(oh, flat,
+                         precision=jax.lax.Precision.HIGHEST)  # [C, 128*ch]
+        o = taps[None, :] - lo[:, None]  # [C, 128]
         f = frac_c[:, None]
         f2 = f * f
         f3 = f2 * f
@@ -187,7 +193,8 @@ def hermite_read_mm(bufmm, positions, chunk: int = 2048,
         w_y2 = 0.5 * (f3 - f2)
         w = (jnp.where(o == 0, w_m1, 0.0) + jnp.where(o == 1, w_y0, 0.0)
              + jnp.where(o == 2, w_y1, 0.0) + jnp.where(o == 3, w_y2, 0.0))
-        return jnp.sum(w[:, :, None] * win, axis=1)  # [C, ch] (VPU, exact f32)
+        return jnp.sum(w[:, :, None] * win.reshape(c, 128, ch),
+                       axis=1)  # [C, ch] (VPU, exact f32)
 
     outs = jax.lax.map(body, (kil.reshape(nc, c), frac.reshape(nc, c)))
     out = outs.reshape(npad, ch)[:n]

@@ -170,7 +170,8 @@ def test_use_mm_threshold():
     assert resample.use_mm(48000)
     assert not resample.use_mm(resample.MM_MAX_ROWS * 128 + 1)
     # boundary: exactly at the threshold row count still uses mm
-    f_edge = (resample.MM_MAX_ROWS - 1) * 128 - resample.MM_PAD_LEFT
+    f_edge = ((resample.MM_MAX_ROWS - 1) * resample.MM_STRIDE
+              - resample.MM_PAD_LEFT - 3)
     assert resample.use_mm(f_edge)
     assert not resample.use_mm(f_edge + 1)
 
