@@ -213,7 +213,7 @@ class Sampler(Generator):
             # read-path format must be group-static (mm-packed vs planar
             # gather fallback), and the coarse length bucket bounds the
             # zero-padding waste of mixed-length banks (ops/resample.py)
-            rs.use_mm(self.buffer.frames),
+            rs.use_mm2(self.buffer.frames),
             rs.length_bucket(self.buffer.frames),
         )
 
@@ -448,6 +448,31 @@ class Sampler(Generator):
         # init would mis-allocate voices otherwise)
         self._sr = ctx.sample_rate
 
+    def _max_step_bound(self, voices) -> float:
+        """Upper bound on any voice's per-sample read step: max note pitch
+        over every allocated segment (incl. set_note_speed automation knots)
+        x the transpose/finetune parameter bound x the rate ratio."""
+        tls = getattr(self, "_timelines", {})
+
+        def tl_max(pid, initial):
+            tl = tls.get(pid)
+            vals = [float(initial)]
+            if tl is not None:
+                vals.append(tl.initial)
+                vals.extend(tl.values)
+            return max(vals)
+
+        pitch = 2.0 ** (tl_max(TRANSPOSE.id, self.transpose) / 12.0
+                        + tl_max(FINETUNE.id, self.finetune) / 1200.0)
+        spd = 1.0
+        for segs in voices:
+            for seg in segs:
+                spd = max(spd, seg.speed0())
+                if seg.spd_tl is not None and seg.spd_tl.values:
+                    spd = max(spd, max(seg.spd_tl.values))
+        ratio = self.buffer.sample_rate / self._sr
+        return pitch * spd * ratio
+
     def lower_block_inputs(self, block_start: int, block_len: int):
         if not hasattr(self, "_sr"):
             raise RuntimeError(
@@ -499,6 +524,14 @@ class Sampler(Generator):
         if self.granular is not None:
             out["_mod_amt"] = self.modulation.amounts.copy()
             out["_mod_bip"] = self.modulation.bipolar.copy()
+        if (self.granular is None and getattr(self, "buffer", None) is not None
+                and rs.use_mm2(self.buffer.frames)):
+            # read-window bucket (monotone: shrinking would ping-pong
+            # retraces); rides in the tag's SHAPE so growth retraces the
+            # step with wider windows (see ops/resample.speed_bucket)
+            b = rs.speed_bucket(self._max_step_bound(voices))
+            self._spd_bucket = max(b, getattr(self, "_spd_bucket", 0))
+            out["_spd_tag"] = np.zeros((self._spd_bucket + 1,), np.float32)
         if getattr(self, "buffer", None) is not None:
             rng = self._loop_at(block_start)
             out["_loop_on"] = np.float32(0.0 if rng is None else 1.0)
@@ -555,12 +588,12 @@ class Sampler(Generator):
             "base": jnp.zeros((v,), jnp.int32),
             "frac": jnp.zeros((v,), jnp.float32),
             # device-resident sample data (see FileSource.init_state);
-            # mm-packed for the gather-free MXU read (ops/resample.py) unless
-            # the buffer is long enough that the gather wins (rs.use_mm)
+            # mm-packed for the gather-free two-stage MXU read unless the
+            # buffer is long enough that the gather wins (rs.use_mm2)
             "buf": (jnp.asarray(self._mono_buffer(ctx.sample_rate))
                     if self.granular is not None
                     else jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))
-                    if rs.use_mm(self.buffer.frames)
+                    if rs.use_mm2(self.buffer.frames)
                     else jnp.asarray(self.buffer.data)),
         }
         if self.granular is not None:
@@ -618,13 +651,17 @@ class Sampler(Generator):
             live = loop_on | (pos < frames_live)
             return p, live
 
+        use_mm2 = rs.use_mm2(self.buffer.frames)
+        smax = (2.0 ** (params["_spd_tag"].shape[0] - 1) if use_mm2 else 0.0)
+
         def lane(note, vol, pan, age, rel, mask, pos):
             """Render one lane: positions [n] (source frames), age [n] runs,
             rel scalar (runs since note start), mask [n]."""
             p, live = fold(pos)
-            if rs.use_mm(self.buffer.frames):
-                audio = rs.hermite_read_mm(buf, p)  # [ch_in, n]
-            else:  # long buffer: O(n) gather beats the O(R) one-hot matmul
+            if use_mm2:
+                # folded positions step by <= smax (steps clamped below)
+                audio = rs.hermite_read_mm2(buf, p, smax=smax)  # [ch_in, n]
+            else:  # very long buffer: the O(n) gather wins (use_mm2 cap)
                 audio = rs.hermite_read(buf, p)
             mono = jnp.mean(audio, axis=0) if self.buffer.channels > 1 else audio[0]
             if self.buffer.channels >= 2 and ctx.channels >= 2:
@@ -669,6 +706,8 @@ class Sampler(Generator):
             spd_a = auto_vals(c_spd, auto, "ca", "spd")
             speed_a = pitch * spd_a * np.float32(ratio)
             mask_a = (c_act > 0.5) & (ii < t_time)
+            if use_mm2:  # mm2 read-window contract (never binds in-bucket)
+                speed_a = jnp.minimum(speed_a, np.float32(smax))
             steps_a = jnp.where(mask_a, speed_a, 0.0)
             rel_a = jnp.cumsum(steps_a)
             pos_a = base0.astype(jnp.float32) + frac0 + jnp.concatenate(
@@ -684,6 +723,8 @@ class Sampler(Generator):
             speed_b = pitch * spd_b * np.float32(ratio)
             has_trig = t_time < n
             mask_b = (ii >= t_time) & has_trig & (t_vol > 0.0)
+            if use_mm2:
+                speed_b = jnp.minimum(speed_b, np.float32(smax))
             steps_b = jnp.where(mask_b, speed_b, 0.0)
             rel_b = jnp.cumsum(steps_b)
             pos_b = jnp.concatenate([jnp.zeros((1,), jnp.float32), rel_b[:-1]])

@@ -95,13 +95,14 @@ class FileBatch:
             max_r = max(float(r * s.options.speed) for r, s in zip(self.ratio, sources))
             self.sinc = rs.sinc_table(cutoff=min(1.0, 1.0 / max(max_r, 1.0)))
             self.buffers_mm = None
-        elif rs.use_mm(fmax + 1):
+        elif rs.use_mm2(fmax + 1):
             self.sinc = None
             # MXU one-hot packing: per-element gathers run at scalar rate on
-            # this backend (~25 ms/source/131072-block); hermite_read_mm is
-            # ~an order of magnitude cheaper (ops/resample.py)
+            # this backend (~25 ms/source/131072-block); the two-stage
+            # hermite_read_mm2 is ~an order of magnitude cheaper and its
+            # stage-2 cost is independent of buffer length (ops/resample.py)
             self.buffers_mm = rs.mm_pack(bufs)
-        else:  # long buffers: the O(n) gather beats the O(R) one-hot matmul
+        else:  # very long buffers: stage 1's HBM streaming loses to the gather
             self.sinc = None
             self.buffers_mm = None
 
@@ -174,6 +175,11 @@ class FileBatch:
         n = ctx.block_frames
         sinc_tbl = state.get("sinc")
         meta = state["meta"]
+        # static read-window bound for the whole group: max speed ever
+        # scheduled on any lane (a growing bucket retraces via the lanes'
+        # _spd_tag inputs, see FileSource.lower_block_inputs)
+        smax = 2.0 ** max(s._speed_bucket(ctx.sample_rate)
+                          for s in self.sources)
 
         def lane(base_s, frac_s, lo_s, buf, frames, rpt, lstart, lend, ratio,
                  fi_log1m, fo_log1m, start_time, vol, pan, spd, stop, kill,
@@ -187,6 +193,10 @@ class FileBatch:
             lo0 = jnp.where(sflag > 0.5, 0.0, lo_s)
 
             steps = jnp.where(active, spd * ratio, 0.0).astype(jnp.float32)
+            if self.buffers_mm is not None:
+                # guarantees the mm2 read-window contract even if a bucket
+                # accounting bug ever under-sizes smax (never binds otherwise)
+                steps = jnp.minimum(steps, np.float32(smax))
             s0 = steps[-1]
             resid = jnp.cumsum(steps - s0)
             rel = s0 * jnp.arange(n, dtype=jnp.float32) + jnp.concatenate(
@@ -203,7 +213,9 @@ class FileBatch:
             if self.sinc is not None:
                 audio = rs.sinc_read(buf, pos, sinc_tbl)
             elif self.buffers_mm is not None:
-                audio = rs.hermite_read_mm(buf, pos)  # buf is mm-packed
+                # folded positions step by <= smax with mod-fold jumps —
+                # the mm2 two-band contract (loops/pingpong/wraps exact)
+                audio = rs.hermite_read_mm2(buf, pos, smax=smax)
             else:  # long-buffer group: planar gather (rs.use_mm threshold)
                 audio = rs.hermite_read(buf, pos)
             audio = audio * mask[None, :]

@@ -858,6 +858,13 @@ class RenderProgram:
             extra = inputs.get("extra", {})
             dicts = [extra.get(pp, {}) for pp in gbatch.paths]
             for k in sorted(set().union(*[set(d) for d in dicts])):
+                if k == "_spd_tag":
+                    # read-window bucket tags carry their value in the SHAPE;
+                    # lanes may disagree — the group reads at the widest
+                    # bucket (a larger smax is always correct)
+                    width = max(len(d[k]) for d in dicts if k in d)
+                    pvals[k] = jnp.zeros((glanes, width), jnp.float32)
+                    continue
                 proto_v = jnp.asarray(next(d[k] for d in dicts if k in d))
                 if k.endswith("_t"):  # event knots: past-block = identity
                     default = jnp.full_like(proto_v, self.ctx.block_frames)

@@ -203,6 +203,122 @@ def hermite_read_mm(bufmm, positions, chunk: int = 2048,
 
 
 # ---------------------------------------------------------------------------
+# Two-stage two-window one-hot read: the ramp-structured fast path
+# ---------------------------------------------------------------------------
+#
+# `hermite_read_mm` streams the WHOLE packed buffer through the MXU per
+# chunk (selection-by-matmul costs C x R x 128 MACs).  When consecutive
+# positions within a chunk step by at most `smax` samples, the chunk only
+# touches ~chunk*smax source samples, so the selection goes two-stage:
+#   stage 1  fetch two NR-row windows (chunk-min and chunk-max anchored)
+#            with a [2NR, R] one-hot row-select (2NR x R x 128 MACs);
+#   stage 2  the usual one-hot read against the 2NR-row window
+#            (C x 2NR x 128 MACs).
+# Mod-fold jumps (loops, circular wraps, repeat folds) are EXACT: after a
+# fold jump positions land within chunk*smax of the fold interval's other
+# end, so a chunk's positions always occupy at most two bands — one inside
+# each window.  Measured on the target TPU the read is bound by the
+# 128-lane tap-select epilogue (~1 ns/position at batch), so the second
+# window is effectively free and this variant wins whenever R >> 2NR
+# (scripts/probe_tworead.py: R=216 51.8->35.3 ms, R=775 147.7->36.5 ms at
+# the 256-lane engine shape).
+
+# mm2's stage-1 cost is linear in R with a tiny constant (2NR row-selects);
+# it stays far ahead of the per-element gather up to minute-long buffers.
+# The practical cap is stage 1's HBM streaming of the packed buffer per
+# chunk: ~16k rows (~42 s @ 48 kHz) keeps it below the epilogue floor.
+MM2_MAX_ROWS = 16384
+
+
+def use_mm2(frames: int) -> bool:
+    """Whether the two-stage MXU read pays off for this buffer length."""
+    return mm_rows(frames) <= MM2_MAX_ROWS
+
+
+def speed_bucket(max_step: float) -> int:
+    """Static power-of-two bucket exponent for a per-sample position step
+    bound: smax = 2**bucket >= max_step.  Callers encode the bucket in a
+    lowered input's SHAPE so a growing bound retraces the step program
+    (one planned retrace per growth) instead of recompiling per value."""
+    m = max(float(max_step), 1e-6)
+    # exact powers of two stay in their own bucket (smax bounds INCLUSIVE:
+    # the in-graph step clamp at smax is then a no-op for in-contract speeds)
+    return int(min(max(math.ceil(math.log2(m) - 1e-9), 0), 6))
+
+
+def hermite_read_mm2(bufmm, positions, smax: float, chunk: int = 2048,
+                     pad_left: int = MM_PAD_LEFT):
+    """4-point Hermite read of ``positions`` from an :func:`mm_pack`-packed
+    buffer via the two-stage two-window one-hot (see block comment).
+
+    Exact equivalent of ``hermite_read(buf, positions)`` provided
+    ``|positions[i+1] - positions[i]| <= smax`` within each chunk, except
+    at mod-fold jumps (which are handled exactly).  Callers must clamp
+    their per-sample steps to ``smax`` (the speed-bucket contract).
+
+    bufmm: [R, 128, ch]; positions: [n].  Returns [ch, n].
+    """
+    r = bufmm.shape[-3]
+    ch = bufmm.shape[-1]
+    pos = jnp.asarray(positions, jnp.float32)
+    n = pos.shape[-1]
+    c = int(min(chunk, n))
+    nr = (c * int(math.ceil(smax)) + 260) // MM_STRIDE + 2
+    if r <= 2 * nr + 2:  # window overhead >= buffer: single full window
+        return hermite_read_mm(bufmm, positions, chunk, pad_left)
+
+    k = jnp.floor(pos)
+    frac = pos - k
+    kil = k.astype(jnp.int32) - 1 + pad_left
+    lim = MM_STRIDE * (r - 1) + 124
+    valid = (kil >= 0) & (kil <= lim)
+    kil = jnp.clip(kil, 0, lim)
+
+    npad = -(-n // c) * c
+    if npad != n:
+        kil = jnp.pad(kil, (0, npad - n))
+        frac = jnp.pad(frac, (0, npad - n))
+    nc = npad // c
+    flat = bufmm.reshape(r, 128 * ch)
+    rows = jnp.arange(r, dtype=jnp.int32)
+    nri = jnp.arange(nr, dtype=jnp.int32)
+    taps = jnp.arange(128, dtype=jnp.int32)
+
+    def body(args):
+        kil_c, frac_c = args  # [C]
+        alo = jnp.clip(jnp.min(kil_c) // MM_STRIDE, 0, r - nr)
+        ahi = jnp.clip(jnp.max(kil_c) // MM_STRIDE - (nr - 1), 0, r - nr)
+        oh1 = (jnp.concatenate([alo + nri, ahi + nri])[:, None]
+               == rows[None, :]).astype(flat.dtype)  # [2nr, R]
+        w1 = jnp.matmul(oh1, flat,
+                        precision=jax.lax.Precision.HIGHEST)  # [2nr, 128*ch]
+        in_lo = kil_c < (alo + nr) * MM_STRIDE
+        base = jnp.where(in_lo, alo, ahi - nr)
+        kil2 = kil_c - base * MM_STRIDE
+        hi = kil2 // MM_STRIDE
+        lo = kil2 - hi * MM_STRIDE
+        oh = (hi[:, None] == jnp.arange(2 * nr, dtype=jnp.int32)[None, :]
+              ).astype(flat.dtype)  # [C, 2nr]
+        win = jnp.matmul(oh, w1, precision=jax.lax.Precision.HIGHEST)
+        o = taps[None, :] - lo[:, None]  # [C, 128]
+        f = frac_c[:, None]
+        f2 = f * f
+        f3 = f2 * f
+        w_m1 = f2 - 0.5 * (f + f3)
+        w_y0 = 1.0 - 2.5 * f2 + 1.5 * f3
+        w_y1 = 0.5 * f + 2.0 * f2 - 1.5 * f3
+        w_y2 = 0.5 * (f3 - f2)
+        w = (jnp.where(o == 0, w_m1, 0.0) + jnp.where(o == 1, w_y0, 0.0)
+             + jnp.where(o == 2, w_y1, 0.0) + jnp.where(o == 3, w_y2, 0.0))
+        return jnp.sum(w[:, :, None] * win.reshape(c, 128, ch), axis=1)
+
+    outs = jax.lax.map(body, (kil.reshape(nc, c), frac.reshape(nc, c)))
+    out = outs.reshape(npad, ch)[:n]
+    out = jnp.where(valid[:, None], out, 0.0)
+    return out.T
+
+
+# ---------------------------------------------------------------------------
 # Polyphase windowed sinc (HQ)
 # ---------------------------------------------------------------------------
 

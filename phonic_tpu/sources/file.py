@@ -120,12 +120,39 @@ class FileSource(Source):
         the block containing ``at_frame`` starts at the new position."""
         self._seeks.append((int(at_frame), float(to_source_frame)))
 
+    def _max_speed_ever(self) -> float:
+        """Upper bound on the SPED parameter over the program's lifetime so
+        far: initial + every scheduled event value (glides/ramps interpolate
+        between knots, so knots bound the trajectory)."""
+        tl = getattr(self, "_timelines", {}).get(SPEED.id)
+        vals = [self.options.speed]
+        if tl is not None:
+            vals.append(tl.initial)
+            vals.extend(tl.values)
+        return float(max(vals))
+
+    def _speed_bucket(self, ctx_sr: Optional[int] = None) -> int:
+        ratio = self.buffer.sample_rate / (ctx_sr or self.buffer.sample_rate)
+        return rs.speed_bucket(self._max_speed_ever() * ratio)
+
     def lower_block_inputs(self, block_start: int, block_len: int):
         flag, pos = 0.0, 0.0
         for at, p in self._seeks:
             if block_start <= at < block_start + block_len:
                 flag, pos = 1.0, p
-        return {"_seek_flag": np.float32(flag), "_seek_pos": np.float32(pos)}
+        out = {"_seek_flag": np.float32(flag), "_seek_pos": np.float32(pos)}
+        if self._uses_mm2():
+            # speed bucket rides in this input's SHAPE: a set_speed above
+            # the current bucket changes the packed-input structure, which
+            # bumps the engine's _pack_version and retraces the step with
+            # the wider read windows (one planned retrace per growth)
+            out["_spd_tag"] = np.zeros((self._speed_bucket(self._ctx_sr) + 1,),
+                                       np.float32)
+        return out
+
+    def _uses_mm2(self) -> bool:
+        return (self.options.resampling_quality != "high"
+                and rs.use_mm2(self.buffer.frames))
 
     def param_initials(self):
         return {
@@ -160,17 +187,17 @@ class FileSource(Source):
         # The sample data rides in the state pytree (threaded unchanged):
         # passing it as an argument keeps it device-resident, where a
         # closure constant would be re-staged per execution on some backends.
+        self._ctx_sr = ctx.sample_rate
         st = {
             "base": jnp.zeros((), jnp.int32),
             "frac": jnp.zeros((), jnp.float32),
             "frac_lo": jnp.zeros((), jnp.float32),
-            # mm-packed for the gather-free MXU read (ops/resample.py); the
-            # sinc path keeps the planar layout for its windowed FIR, as do
-            # buffers long enough that the one-hot matmul would lose to the
-            # gather (rs.use_mm threshold)
+            # mm-packed for the gather-free two-stage MXU read
+            # (ops/resample.py hermite_read_mm2); the sinc path keeps the
+            # planar layout for its windowed FIR, as do buffers long enough
+            # that stage 1's HBM streaming loses to the gather (rs.use_mm2)
             "buf": (jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))
-                    if self.options.resampling_quality != "high"
-                    and rs.use_mm(self.buffer.frames)
+                    if self._uses_mm2()
                     else jnp.asarray(self.buffer.data)),
         }
         if self.options.resampling_quality == "high":
@@ -245,6 +272,14 @@ class FileSource(Source):
         frac0 = jnp.where(seek_flag > 0.5, seek_pos - seek_int, state["frac"])
         frac_lo0 = jnp.where(seek_flag > 0.5, 0.0, state["frac_lo"])
 
+        use_mm2 = self._uses_mm2()
+        if use_mm2:
+            # the read's two-stage windows are sized for steps <= smax
+            # (2**bucket); the bucket tracks the max speed ever scheduled,
+            # so this clamp never binds in-contract — it guarantees read
+            # correctness if a bucket accounting bug ever under-sizes it
+            smax = np.float32(2.0 ** (params["_spd_tag"].shape[0] - 1))
+            speed = jnp.minimum(speed, smax / np.float32(ratio))
         steps = jnp.where(active, speed * np.float32(ratio), 0.0).astype(jnp.float32)
         # Positions as affine base + residual cumsum: exact (ulp-level) for
         # constant speed, and the residual is tiny during glides — a plain
@@ -268,9 +303,11 @@ class FileSource(Source):
         pos = fki.astype(jnp.float32) + ffr
         if self.options.resampling_quality == "high":
             audio = rs.sinc_read(buf, pos, state["sinc"])
-        elif rs.use_mm(self.buffer.frames):
-            audio = rs.hermite_read_mm(buf, pos)
-        else:  # long buffer: the O(n) gather beats the O(R) one-hot matmul
+        elif use_mm2:
+            # folded positions step by <= smax with mod-fold jumps — exactly
+            # the mm2 contract (loops/pingpong/repeat wraps are exact)
+            audio = rs.hermite_read_mm2(buf, pos, smax=float(smax))
+        else:  # very long buffer: the O(n) gather wins (rs.use_mm2 cap)
             audio = rs.hermite_read(buf, pos)
         audio = audio * mask[None, :]
         audio = remap_channels(audio, ctx.channels)

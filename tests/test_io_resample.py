@@ -268,3 +268,96 @@ def test_loop_fold_forward_and_pingpong():
     np.testing.assert_allclose(fwd[20:30], np.arange(10, 20))  # wrapped
     pp = np.asarray(resample.loop_fold(pos, 10, 20, "pingpong"))
     np.testing.assert_allclose(pp[20:30], np.arange(20, 10, -1))  # reflected
+
+
+# ---------------------------------------------------------------------------
+# Two-stage two-window read (hermite_read_mm2)
+# ---------------------------------------------------------------------------
+
+
+def _ramp_positions(rng, frames, n, smax, fold=None):
+    """Bounded-step ramp with optional mod-folds (the mm2 contract)."""
+    steps = rng.uniform(0.1, smax * 0.98, n).astype(np.float32)
+    pos = 8.0 + np.cumsum(steps)
+    if fold == "circular":
+        pos = np.mod(pos, frames)
+    elif fold == "loop":
+        ls, le = frames * 0.25, frames * 0.75
+        pos = np.where(pos >= ls, ls + np.mod(pos - ls, le - ls), pos)
+    elif fold == "shortloop":
+        ls, le = frames * 0.4, frames * 0.4 + 97.0  # many folds per chunk
+        pos = np.where(pos >= ls, ls + np.mod(pos - ls, le - ls), pos)
+    elif fold == "pingpong":
+        ls, le = frames * 0.3, frames * 0.8
+        length = le - ls
+        c = np.mod(pos - ls, 2 * length)
+        pos = np.where(pos < ls, pos,
+                       ls + np.where(c < length, c, 2 * length - c))
+    return pos.astype(np.float32)
+
+
+@pytest.mark.parametrize("fold", [None, "circular", "loop", "shortloop",
+                                  "pingpong"])
+@pytest.mark.parametrize("smax", [1.0, 4.0])
+def test_hermite_read_mm2_matches_hermite_read(fold, smax):
+    rng = np.random.default_rng(19)
+    frames = 9000
+    buf = rng.normal(size=(2, frames)).astype(np.float32)
+    pos = _ramp_positions(rng, frames, 2600, smax, fold)
+    want = np.asarray(resample.hermite_read(jnp.asarray(buf), jnp.asarray(pos)))
+    packed = resample.mm_pack(buf)
+    got = np.asarray(resample.hermite_read_mm2(
+        jnp.asarray(packed), jnp.asarray(pos), smax=smax, chunk=512))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_hermite_read_mm2_out_of_range_and_small_buffer():
+    rng = np.random.default_rng(23)
+    frames = 5000
+    buf = rng.normal(size=(1, frames)).astype(np.float32)
+    # ramp running past the end and a stale cluster clamped at one boundary
+    steps = rng.uniform(0.0, 2.0, 1500).astype(np.float32)
+    pos = (frames - 900.0) + np.cumsum(steps)
+    pos = np.concatenate([np.full(64, -50.0, np.float32), pos.astype(np.float32)])
+    want = np.asarray(resample.hermite_read(jnp.asarray(buf), jnp.asarray(pos)))
+    packed = resample.mm_pack(buf)
+    got = np.asarray(resample.hermite_read_mm2(
+        jnp.asarray(packed), jnp.asarray(pos), smax=2.0, chunk=512))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # tiny buffer: falls back to the single-window read internally
+    small = rng.normal(size=(1, 300)).astype(np.float32)
+    spos = _ramp_positions(rng, 300, 700, 1.0, "circular")
+    want_s = np.asarray(resample.hermite_read(jnp.asarray(small),
+                                              jnp.asarray(spos)))
+    got_s = np.asarray(resample.hermite_read_mm2(
+        jnp.asarray(resample.mm_pack(small)), jnp.asarray(spos), smax=1.0,
+        chunk=512))
+    np.testing.assert_allclose(got_s, want_s, atol=2e-5)
+
+
+def test_hermite_read_mm2_under_vmap():
+    import jax
+    rng = np.random.default_rng(29)
+    lanes, frames = 3, 8000
+    bufs = rng.normal(size=(lanes, 1, frames)).astype(np.float32)
+    pos = np.stack([_ramp_positions(rng, frames, 1024, 2.0, f)
+                    for f in (None, "circular", "loop")])
+    packed = np.stack([resample.mm_pack(b) for b in bufs])
+    got = np.asarray(jax.vmap(
+        lambda b, p: resample.hermite_read_mm2(b, p, smax=2.0, chunk=256))(
+            jnp.asarray(packed), jnp.asarray(pos)))
+    want = np.stack([
+        np.asarray(resample.hermite_read(jnp.asarray(bufs[i]),
+                                         jnp.asarray(pos[i])))
+        for i in range(lanes)])
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_speed_bucket():
+    assert resample.speed_bucket(0.5) == 0
+    assert resample.speed_bucket(1.0) == 0
+    assert resample.speed_bucket(2.0) == 1
+    assert resample.speed_bucket(1.5) == 1
+    assert resample.speed_bucket(3.9) == 2
+    assert resample.speed_bucket(100.0) == 6  # capped
