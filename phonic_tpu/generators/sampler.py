@@ -448,10 +448,14 @@ class Sampler(Generator):
         # init would mis-allocate voices otherwise)
         self._sr = ctx.sample_rate
 
-    def _max_step_bound(self, voices) -> float:
+    def _max_step_bound(self, voices, include_ratio: bool = True) -> float:
         """Upper bound on any voice's per-sample read step: max note pitch
         over every allocated segment (incl. set_note_speed automation knots)
-        x the transpose/finetune parameter bound x the rate ratio."""
+        x the transpose/finetune parameter bound x the rate ratio.
+
+        ``include_ratio=False`` gives the bound in SOURCE frames per output
+        sample for a buffer already resampled to the engine rate (the
+        granular mono buffer)."""
         tls = getattr(self, "_timelines", {})
 
         def tl_max(pid, initial):
@@ -470,7 +474,7 @@ class Sampler(Generator):
                 spd = max(spd, seg.speed0())
                 if seg.spd_tl is not None and seg.spd_tl.values:
                     spd = max(spd, max(seg.spd_tl.values))
-        ratio = self.buffer.sample_rate / self._sr
+        ratio = (self.buffer.sample_rate / self._sr) if include_ratio else 1.0
         return pitch * spd * ratio
 
     def lower_block_inputs(self, block_start: int, block_len: int):
@@ -524,12 +528,22 @@ class Sampler(Generator):
         if self.granular is not None:
             out["_mod_amt"] = self.modulation.amounts.copy()
             out["_mod_bip"] = self.modulation.bipolar.copy()
-        if (self.granular is None and getattr(self, "buffer", None) is not None
-                and rs.use_mm2(self.buffer.frames)):
+        if getattr(self, "buffer", None) is not None and (
+                self.granular is not None or rs.use_mm2(self.buffer.frames)):
             # read-window bucket (monotone: shrinking would ping-pong
             # retraces); rides in the tag's SHAPE so growth retraces the
             # step with wider windows (see ops/resample.speed_bucket)
-            b = rs.speed_bucket(self._max_step_bound(voices))
+            if self.granular is not None:
+                # grain read speed = voice speed x 2^(sem/12), |sem| <= var
+                # <= 1 semitone (granular.rs:700-717 variation draws); the
+                # mono buffer is pre-resampled to the engine rate (ratio 1).
+                # The config max_read_speed caps the bucket either way.
+                b = min(rs.speed_bucket(
+                            self._max_step_bound(voices, include_ratio=False)
+                            * 2.0 ** (1.0 / 12.0)),
+                        rs.speed_bucket(self.granular.max_read_speed))
+            else:
+                b = rs.speed_bucket(self._max_step_bound(voices))
             self._spd_bucket = max(b, getattr(self, "_spd_bucket", 0))
             out["_spd_tag"] = np.zeros((self._spd_bucket + 1,), np.float32)
         if getattr(self, "buffer", None) is not None:
@@ -772,6 +786,16 @@ class Sampler(Generator):
         env_p = self._envelope_params(params) if self.envelope is not None else None
         max_trig = int(math.ceil(100.0 * n / sr)) + 2
 
+        # effective read-speed cap: the static window span of the gather-free
+        # grain read is sized by this, so tightening it to the host-side
+        # speed bound (the _spd_tag bucket, lower_block_inputs) shrinks both
+        # the window fetches and the one-hot tap matmuls ~linearly.  The
+        # in-graph gspeed clamp (granular.py alloc) guarantees reads stay
+        # in-window; the clamp never binds while the bound holds.
+        eff_mrs = float(self.granular.max_read_speed)
+        if "_spd_tag" in params:
+            eff_mrs = min(eff_mrs, 2.0 ** (params["_spd_tag"].shape[-1] - 1))
+
         overlap = params[GRAIN_OVERLAP.id][0].astype(jnp.int32)
         wmode = params[GRAIN_WINDOW.id].astype(jnp.int32)
         direction = params[GRAIN_DIRECTION.id].astype(jnp.int32)
@@ -835,7 +859,7 @@ class Sampler(Generator):
                     note_start=note_start, overlap_mode=overlap,
                     seed=self.seed ^ (voice_idx + 1) * 0x51ED,
                     max_triggers=mt, mono_ext=ext,
-                    max_read_speed=self.granular.max_read_speed, **sl)
+                    max_read_speed=eff_mrs, **sl)
 
             # Big blocks run the grain engine as a scan over sub-chunks: a
             # slot is only reusable once its grain expired BEFORE the chunk
@@ -855,9 +879,7 @@ class Sampler(Generator):
                 # bf16x3 split of the circularly-extended source, hoisted
                 # out of the chunk scan (loop-invariant)
                 ext = source_ext(
-                    mono,
-                    int(math.ceil(cn * self.granular.max_read_speed)) + 8
-                ) if mm else None
+                    mono, int(math.ceil(cn * eff_mrs)) + 8) if mm else None
 
                 def chunk_body(gs, ci):
                     return run_chunk(gs, ci * cn, cn, mt, ext)
@@ -868,9 +890,7 @@ class Sampler(Generator):
                 audio = jnp.moveaxis(autos, 0, 1).reshape(autos.shape[1], n)
             else:
                 ext = source_ext(
-                    mono,
-                    int(math.ceil(n * self.granular.max_read_speed)) + 8
-                ) if mm else None
+                    mono, int(math.ceil(n * eff_mrs)) + 8) if mm else None
                 gr_state, audio = run_chunk(gr_state, jnp.int32(0), n,
                                             max_trig, ext)
 
