@@ -60,9 +60,9 @@ _PRE_FACTOR = 29.0
 VIB_SPEED = 0.1
 VIB_DEPTH = 7.0
 
-_LINE_BUF = 8192  # max line size 79*100+1 = 7901 -> pow2
-_AP_BUF = 8192    # max allpass size 43*100+1
-_PRE_MAX = 2902   # max predelay 29*100+2
+# Delay storage is sized per instance from the max_room_size capacity hint
+# (pow2 of max line 79*size_cap+1 / allpass 43*size_cap+1, predelay
+# 29*size_cap+2); the default capacity 1.0 gives 8192/8192/2902.
 
 
 class ReverbEffect(Effect):
@@ -70,12 +70,24 @@ class ReverbEffect(Effect):
     WEIGHT = 5
 
     def __init__(self, room_size: float = 0.6, wet: float = 0.35,
-                 seed: int = 0xA1B2, name=None):
+                 seed: int = 0xA1B2, max_room_size: float = 1.0, name=None):
         super().__init__(name)
         self.room_size = float(room_size)
         self.wet = float(wet)
         self.seed = seed
         self._resets: list[int] = []
+        # capacity hint (like DelayEffect.max_delay_capacity_ms): delay-line
+        # storage is sized for the largest ROOM_SIZE this instance will ever
+        # be automated to; the room parameter is clamped to it in-graph
+        if not (0.0 < max_room_size <= 1.0):
+            raise ValueError(f"max_room_size out of (0, 1]: {max_room_size}")
+        if float(room_size) > float(max_room_size):
+            raise ValueError("room_size exceeds max_room_size capacity")
+        self.max_room_size = float(max_room_size)
+        size_cap = self.max_room_size ** 2 * 75.0 + 25.0
+        self._line_buf = 1 << int(79.0 * size_cap + 1).bit_length()
+        self._ap_buf = 1 << int(43.0 * size_cap + 1).bit_length()
+        self._pre_max = int(_PRE_FACTOR * size_cap) + 2
 
     def reset(self, time: int = 0):
         """Flush all delay lines at block granularity
@@ -101,9 +113,11 @@ class ReverbEffect(Effect):
         return {ROOM_SIZE.id: self.room_size, WET.id: self.wet}
 
     def batch_key(self, ctx: BuildCtx):
-        # process() reads no per-instance statics: any two
-        # instances trace identically and can share one vmapped run
-        return (type(self).__name__,)
+        # process() reads no per-instance statics beyond the buffer capacity
+        # (a state SHAPE): instances with equal capacity trace identically
+        # and can share one vmapped run
+        return (type(self).__name__, self._line_buf, self._ap_buf,
+                self._pre_max)
 
     def init_state(self, ctx: BuildCtx):
         rng = np.random.default_rng(self.seed)
@@ -118,12 +132,12 @@ class ReverbEffect(Effect):
         # last), NOT rings: process() concatenates them with the block's
         # writes so every read is a contiguous dynamic_slice
         return {
-            "pre": jnp.zeros((2, _PRE_MAX), dt),
+            "pre": jnp.zeros((2, self._pre_max), dt),
             "bq_a": filters.tpt_state_init((2,), dtype=dt),
             "bq_b": filters.tpt_state_init((2,), dtype=dt),
             "bq_c": filters.tpt_state_init((2,), dtype=dt),
-            "ap_buf": jnp.zeros((4, 2, _AP_BUF), dt),
-            "line_buf": jnp.zeros((8, 2, _LINE_BUF), dt),
+            "ap_buf": jnp.zeros((4, 2, self._ap_buf), dt),
+            "line_buf": jnp.zeros((8, 2, self._line_buf), dt),
             "vib_phase": jnp.asarray(vib_phase),
             "fb": jnp.zeros((8, 2), dt),
         }
@@ -144,9 +158,11 @@ class ReverbEffect(Effect):
         return self._tail_for_room(self.room_size, ctx.sample_rate)
 
     def max_tail_frames(self, ctx: BuildCtx) -> int:
-        # ROOM_SIZE is automatable to 1.0; the analytic decay is monotonic in
-        # room, so the range maximum is the worst case (~54 s at 48 kHz)
-        return self._tail_for_room(ROOM_SIZE.max, ctx.sample_rate)
+        # ROOM_SIZE is automatable up to the capacity cap; the analytic decay
+        # is monotonic in room, so that maximum is the worst case (~54 s at
+        # 48 kHz for the default max_room_size=1.0)
+        return self._tail_for_room(min(ROOM_SIZE.max, self.max_room_size),
+                                    ctx.sample_rate)
 
     def _subblocks(self, ctx: BuildCtx):
         # smallest size = 25 (room 0): min allpass delay 31*25=775, min line
@@ -174,6 +190,10 @@ class ReverbEffect(Effect):
         }
 
         room = params[ROOM_SIZE.id]  # [n] linear-smoothed
+        if self.max_room_size < 1.0:
+            # capacity contract: buffers are sized for max_room_size, so the
+            # clamp never binds for in-contract automation
+            room = jnp.minimum(room, np.float32(self.max_room_size))
         wet = params[WET.id]  # [n] exp-smoothed
         # derived controls (reverb.rs:408-420); sizes at block rate
         room0 = room[0]
@@ -194,7 +214,8 @@ class ReverbEffect(Effect):
         dt_s = ctx.scan_dtype
         pre_big = jnp.concatenate([state["pre"], x.astype(dt_s)], axis=-1)
         delayed_in = jax.lax.dynamic_slice(
-            pre_big, (jnp.int32(0), jnp.int32(_PRE_MAX) - predelay), (2, n))
+            pre_big, (jnp.int32(0), jnp.int32(self._pre_max) - predelay),
+            (2, n))
         pre = pre_big[:, n:]
 
         coefs_a = filters.biquad_coefficients(filters.LOWPASS, sr, cutoff, 1.618034)
@@ -209,7 +230,7 @@ class ReverbEffect(Effect):
         # are chronological [4, 2, H + n]: the write is one contiguous
         # dynamic_update_slice at H + t0, the integer-delay read one
         # contiguous dynamic_slice at H + t0 - delay (delay <= 4300 < H).
-        h_ap = _AP_BUF
+        h_ap = self._ap_buf
         ap_big0 = jnp.concatenate(
             [state["ap_buf"], jnp.zeros((4, 2, n), dt_s)], axis=-1)
 
@@ -253,7 +274,7 @@ class ReverbEffect(Effect):
         vib_inc = jnp.asarray(_VIB_DEPTHS * VIB_SPEED, dt_s)  # [8]
         blend_b = blend
         regen_b = regen
-        h_ln = _LINE_BUF
+        h_ln = self._line_buf
         win = b_fdn + 2 * int(VIB_DEPTH) + 2  # window: B reads + 15 shifts + interp partner
         line_big0 = jnp.concatenate(
             [state["line_buf"], jnp.zeros((8, 2, n), dt_s)], axis=-1)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..graph.nodes import BuildCtx
 from ..io.decoder import AudioFileBuffer
 from ..ops import ahdsr as ahdsr_ops
+from ..ops import rampread as rr
 from ..ops import resample as rs
 from ..events import ParamTimeline
 from ..ops.convert import panning_factors
@@ -53,6 +54,14 @@ from ..modulation.matrix import (
 from ..params import EnumParameter
 
 NEVER = np.iinfo(np.int32).max
+
+# tests force the Pallas ramp-read path on CPU (interpret mode) by setting
+# this; production gates on the backend
+_FORCE_RR = False
+
+
+def _use_rr() -> bool:
+    return _FORCE_RR or rr._on_tpu()
 
 # granular renders in sub-chunks of this size when block_frames exceeds it
 # (the grain pool allocates-then-renders per chunk; see _process_granular)
@@ -181,8 +190,12 @@ class Sampler(Generator):
         never mixed."""
         out = []
         bufs = [np.asarray(st["buf"]) for st in states]
-        packed = bufs[0].ndim == 3  # [R, 128, ch] mm rows vs planar [ch, F]
-        axis = 0 if packed else bufs[0].ndim - 1
+        if _use_rr():  # rr-packed [ch, R, 128]: pad the row axis
+            axis = 1
+        elif bufs[0].ndim == 3:  # mm-packed [R, 128, ch]
+            axis = 0
+        else:  # planar [ch, F] gather fallback
+            axis = bufs[0].ndim - 1
         nmax = max(b.shape[axis] for b in bufs)
         for st, buf in zip(states, bufs):
             st = dict(st)
@@ -606,6 +619,10 @@ class Sampler(Generator):
             # buffer is long enough that the gather wins (rs.use_mm2)
             "buf": (jnp.asarray(self._mono_buffer(ctx.sample_rate))
                     if self.granular is not None
+                    else jnp.asarray(rr.pack(
+                        np.asarray(self.buffer.data),
+                        min_rows=rr.window_rows(1024, 64)))
+                    if _use_rr()
                     else jnp.asarray(rs.mm_pack(np.asarray(self.buffer.data)))
                     if rs.use_mm2(self.buffer.frames)
                     else jnp.asarray(self.buffer.data)),
@@ -665,24 +682,21 @@ class Sampler(Generator):
             live = loop_on | (pos < frames_live)
             return p, live
 
-        use_mm2 = rs.use_mm2(self.buffer.frames)
-        smax = (2.0 ** (params["_spd_tag"].shape[0] - 1) if use_mm2 else 0.0)
+        use_rr = _use_rr()
+        use_mm2 = (not use_rr) and rs.use_mm2(self.buffer.frames)
+        smax = (2.0 ** (params["_spd_tag"].shape[0] - 1)
+                if (use_rr or use_mm2) else 0.0)
 
-        def lane(note, vol, pan, age, rel, mask, pos):
-            """Render one lane: positions [n] (source frames), age [n] runs,
-            rel scalar (runs since note start), mask [n]."""
-            p, live = fold(pos)
-            if use_mm2:
-                # folded positions step by <= smax (steps clamped below)
-                audio = rs.hermite_read_mm2(buf, p, smax=smax)  # [ch_in, n]
-            else:  # very long buffer: the O(n) gather wins (use_mm2 cap)
-                audio = rs.hermite_read(buf, p)
+        def lane(vol, pan, age, rel, mask, audio):
+            """Post-read half of one lane: ``audio`` [ch_in, n] from the
+            hoisted read below, age [n] runs, rel scalar (runs since note
+            start), mask [n] (activity & fold-liveness)."""
             mono = jnp.mean(audio, axis=0) if self.buffer.channels > 1 else audio[0]
             if self.buffer.channels >= 2 and ctx.channels >= 2:
                 sig = jnp.stack([audio[0], audio[1]])
             else:
                 sig = jnp.stack([mono] * ctx.channels)
-            m = (mask & live).astype(jnp.float32)
+            m = mask.astype(jnp.float32)
             if env_p is not None:
                 env = ahdsr_ops.ahdsr_block(env_p, 1.0, age[0], rel + 0.0, n)
                 # ahdsr_block takes scalar age0; ages here are contiguous
@@ -711,24 +725,26 @@ class Sampler(Generator):
             ev = SegmentEvents(auto[key], auto[f"_{lane_key}_{nm}_v"])
             return step_targets(current, ev, auto[f"_{lane_key}_{nm}_r"], n)[1]
 
-        def render_voice(base0, frac0, c_act, c_note, c_vol, c_pan, c_age0,
-                         c_rel, c_spd, t_time, t_note, t_vol, t_pan, t_rel,
-                         t_spd, auto):
+        clamp = use_rr or use_mm2
+
+        def voice_pos(base0, frac0, c_act, c_vol, c_pan, c_age0, c_spd,
+                      t_time, t_vol, t_pan, t_spd, auto):
+            """Phase A: per-voice positions/masks/automated gains for the
+            two steal lanes; the reads are hoisted out of the vmap."""
             # lane A: continuing note (carried position)
             vol_a = auto_vals(c_vol, auto, "ca", "vol")
             pan_a = auto_vals(c_pan, auto, "ca", "pan")
             spd_a = auto_vals(c_spd, auto, "ca", "spd")
             speed_a = pitch * spd_a * np.float32(ratio)
             mask_a = (c_act > 0.5) & (ii < t_time)
-            if use_mm2:  # mm2 read-window contract (never binds in-bucket)
+            if clamp:  # read-window contract (never binds in-bucket)
                 speed_a = jnp.minimum(speed_a, np.float32(smax))
             steps_a = jnp.where(mask_a, speed_a, 0.0)
             rel_a = jnp.cumsum(steps_a)
             pos_a = base0.astype(jnp.float32) + frac0 + jnp.concatenate(
                 [jnp.zeros((1,), jnp.float32), rel_a[:-1]]
             )
-            age_a = c_age0 + ii
-            out = lane(c_note, vol_a, pan_a, age_a, c_rel, mask_a, pos_a)
+            p_a, live_a = fold(pos_a)
 
             # lane B: (re)triggered note, position restarts at 0
             vol_b = auto_vals(t_vol, auto, "ta", "vol")
@@ -737,29 +753,56 @@ class Sampler(Generator):
             speed_b = pitch * spd_b * np.float32(ratio)
             has_trig = t_time < n
             mask_b = (ii >= t_time) & has_trig & (t_vol > 0.0)
-            if use_mm2:
+            if clamp:
                 speed_b = jnp.minimum(speed_b, np.float32(smax))
             steps_b = jnp.where(mask_b, speed_b, 0.0)
             rel_b = jnp.cumsum(steps_b)
             pos_b = jnp.concatenate([jnp.zeros((1,), jnp.float32), rel_b[:-1]])
-            age_b = ii - t_time
-            out = out + lane(t_note, vol_b, pan_b, age_b, t_rel, mask_b, pos_b)
+            p_b, live_b = fold(pos_b)
 
             # end-of-block position state
             end_pos = jnp.where(mask_b[-1] | (has_trig & (t_vol > 0.0)),
                                 rel_b[-1], pos_a[-1] + steps_a[-1])
             new_base = jnp.floor(end_pos)
-            return out, new_base.astype(jnp.int32), end_pos - new_base
+            return ((p_a, mask_a & live_a, vol_a, pan_a),
+                    (p_b, mask_b & live_b, vol_b, pan_b),
+                    new_base.astype(jnp.int32), end_pos - new_base)
 
         auto = {k: jnp.asarray(v) for k, v in params.items()
                 if k.startswith(("_ca_", "_ta_"))}
-        outs, new_base, new_frac = jax.vmap(render_voice)(
+        la, lb, new_base, new_frac = jax.vmap(voice_pos)(
             state["base"], state["frac"],
-            params["_cont_active"], params["_cont_note"], params["_cont_vol"],
-            params["_cont_pan"], params["_cont_age0"], params["_cont_rel"],
-            params["_cont_spd"], params["_trig_time"], params["_trig_note"],
-            params["_trig_vol"], params["_trig_pan"], params["_trig_rel"],
+            params["_cont_active"], params["_cont_vol"],
+            params["_cont_pan"], params["_cont_age0"],
+            params["_cont_spd"], params["_trig_time"],
+            params["_trig_vol"], params["_trig_pan"],
             params["_trig_spd"], auto,
+        )
+
+        # hoisted read: both steal lanes of every voice in one call
+        v = la[0].shape[0]
+        pos_all = jnp.concatenate([la[0], lb[0]])  # [2V, n] folded
+        if use_rr:
+            # one fused Pallas ramp-read over all voice lanes
+            # (ops/rampread.py; folded positions honor the two-cluster
+            # fold contract — loop_fold jumps are mod-folds)
+            aud = rr.ramp_read(buf[None], jnp.zeros((2 * v,), jnp.int32),
+                               pos_all, smax=max(1, int(smax)))
+        elif use_mm2:
+            aud = jax.vmap(lambda p: rs.hermite_read_mm2(
+                buf, p, smax=smax))(pos_all)
+        else:  # very long buffer: the O(n) gather wins (use_mm2 cap)
+            aud = jax.vmap(lambda p: rs.hermite_read(buf, p))(pos_all)
+
+        def voice_post(aud_a, aud_b, m_a, vol_a, pan_a, m_b, vol_b, pan_b,
+                       c_age0, c_rel, t_time, t_rel):
+            out = lane(vol_a, pan_a, c_age0 + ii, c_rel, m_a, aud_a)
+            return out + lane(vol_b, pan_b, ii - t_time, t_rel, m_b, aud_b)
+
+        outs = jax.vmap(voice_post)(
+            aud[:v], aud[v:], la[1], la[2], la[3], lb[1], lb[2], lb[3],
+            params["_cont_age0"], params["_cont_rel"],
+            params["_trig_time"], params["_trig_rel"],
         )
         mix = jnp.sum(outs, axis=0)  # [ch, n]
         return {"base": new_base, "frac": new_frac, "buf": buf}, mix

@@ -22,10 +22,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import rampread as rr
 from ..ops import resample as rs
 from ..ops.convert import panning_factors
 from ..ops.precision import ds_add
 from ..sources.file import NEVER, FileSource, _host_fade_log1m
+
+# ramp-read chunk: grid-step count vs per-step DMA window trade
+# (ops/rampread.py; scripts/probe_rrp.py picks this)
+RR_CHUNK = 1024
 
 
 def group_key(src: FileSource, ctx):
@@ -90,30 +95,45 @@ class FileBatch:
         self.fade_out_log1m = np.asarray(
             [_host_fade_log1m(s.options.fade_out_secs, sr) if s.options.fade_out_secs > 0
              else 0.0 for s in sources], np.float32)
+        self.sinc = None
+        self.buffers_mm = None
+        self.buffers_rr = None
         if self.quality == "high":
             # per-source sinc tables share one (conservative) cutoff
             max_r = max(float(r * s.options.speed) for r, s in zip(self.ratio, sources))
             self.sinc = rs.sinc_table(cutoff=min(1.0, 1.0 / max(max_r, 1.0)))
-            self.buffers_mm = None
+            self.mode = "sinc"
+        elif rr._on_tpu():
+            # fused Pallas ramp-read (ops/rampread.py): windows DMA'd
+            # HBM->VMEM per chunk, tap selection via in-register one-hot
+            # dots — cost independent of buffer length, ~MXU rate.  Packed
+            # generously so any speed bucket's band window fits.
+            self.buffers_rr = rr.pack(
+                bufs, min_rows=rr.window_rows(RR_CHUNK, 64))
+            self.mode = "rr"
         elif rs.use_mm2(fmax + 1):
-            self.sinc = None
             # MXU one-hot packing: per-element gathers run at scalar rate on
             # this backend (~25 ms/source/131072-block); the two-stage
             # hermite_read_mm2 is ~an order of magnitude cheaper and its
             # stage-2 cost is independent of buffer length (ops/resample.py)
             self.buffers_mm = rs.mm_pack(bufs)
-        else:  # very long buffers: stage 1's HBM streaming loses to the gather
-            self.sinc = None
-            self.buffers_mm = None
+            self.mode = "mm2"
+        else:  # long buffers off-TPU: the plain gather wins
+            self.mode = "gather"
 
     def init_state(self):
         s = len(self.sources)
+        if self.mode == "rr":
+            buf = jnp.asarray(self.buffers_rr)
+        elif self.mode == "mm2":
+            buf = jnp.asarray(self.buffers_mm)
+        else:
+            buf = jnp.asarray(self.buffers)
         st = {
             "base": jnp.zeros((s,), jnp.int32),
             "frac": jnp.zeros((s,), jnp.float32),
             "frac_lo": jnp.zeros((s,), jnp.float32),
-            "buf": (jnp.asarray(self.buffers) if self.buffers_mm is None
-                    else jnp.asarray(self.buffers_mm)),
+            "buf": buf,
         }
         # per-lane metadata and the sinc table ride in the state pytree:
         # embedded jaxpr constants are re-staged to the device per execution
@@ -180,10 +200,10 @@ class FileBatch:
         # _spd_tag inputs, see FileSource.lower_block_inputs)
         smax = 2.0 ** max(s._speed_bucket(ctx.sample_rate)
                           for s in self.sources)
+        clamp_steps = self.mode in ("rr", "mm2")
 
-        def lane(base_s, frac_s, lo_s, buf, frames, rpt, lstart, lend, ratio,
-                 fi_log1m, fo_log1m, start_time, vol, pan, spd, stop, kill,
-                 sflag, spos):
+        def lane_pos(base_s, frac_s, lo_s, frames, rpt, lstart, lend, ratio,
+                     start_time, spd, kill, sflag, spos):
             gframes = frame0 + jnp.arange(n, dtype=frame0.dtype)
             active = (gframes >= start_time) & (gframes < kill)
 
@@ -193,8 +213,8 @@ class FileBatch:
             lo0 = jnp.where(sflag > 0.5, 0.0, lo_s)
 
             steps = jnp.where(active, spd * ratio, 0.0).astype(jnp.float32)
-            if self.buffers_mm is not None:
-                # guarantees the mm2 read-window contract even if a bucket
+            if clamp_steps:
+                # guarantees the read-window contract even if a bucket
                 # accounting bug ever under-sizes smax (never binds otherwise)
                 steps = jnp.minimum(steps, np.float32(smax))
             s0 = steps[-1]
@@ -208,16 +228,42 @@ class FileBatch:
 
             fki, ffr, live = self._fold(ki, fr, frames, rpt, lstart, lend)
             mask = (active & live).astype(jnp.float32)
-
             pos = fki.astype(jnp.float32) + ffr
-            if self.sinc is not None:
-                audio = rs.sinc_read(buf, pos, sinc_tbl)
-            elif self.buffers_mm is not None:
-                # folded positions step by <= smax with mod-fold jumps —
-                # the mm2 two-band contract (loops/pingpong/wraps exact)
-                audio = rs.hermite_read_mm2(buf, pos, smax=smax)
-            else:  # long-buffer group: planar gather (rs.use_mm threshold)
-                audio = rs.hermite_read(buf, pos)
+
+            advance = s0 * np.float32(n) + resid[-1]
+            total, lo_new = ds_add(frac0, lo0, advance)
+            carry = jnp.floor(total)
+            new_base = self._fold_state(base0 + carry.astype(jnp.int32),
+                                        frames, lstart, lend)
+            return pos, mask, (new_base, total - carry, lo_new)
+
+        pos, mask, (nb, nf, nl) = jax.vmap(lane_pos)(
+            state["base"], state["frac"], state["frac_lo"],
+            meta["frames"], meta["repeat"], meta["loop_start"],
+            meta["loop_end"], meta["ratio"], meta["start_time"],
+            speed, kill_at, seek_flag, seek_pos,
+        )
+
+        # read step ([S, ch_in, n]), switched per group mode.  Folded
+        # positions step by <= smax with mod-fold jumps — the rr/mm2
+        # two-band contract (loops/pingpong/wraps exact).
+        if self.mode == "rr":
+            smax_i = max(1, int(math.ceil(smax)))
+            smap = jnp.arange(len(self.sources), dtype=jnp.int32)
+            audio = rr.ramp_read(state["buf"], smap, pos, smax_i,
+                                 chunk=RR_CHUNK)
+        elif self.mode == "sinc":
+            audio = jax.vmap(lambda b, p: rs.sinc_read(b, p, sinc_tbl))(
+                state["buf"], pos)
+        elif self.mode == "mm2":
+            audio = jax.vmap(lambda b, p: rs.hermite_read_mm2(
+                b, p, smax=smax))(state["buf"], pos)
+        else:  # long-buffer group off-TPU: planar gather
+            audio = jax.vmap(rs.hermite_read)(state["buf"], pos)
+
+        def lane_post(audio, mask, fi_log1m, fo_log1m, start_time, vol, pan,
+                      stop):
+            gframes = frame0 + jnp.arange(n, dtype=frame0.dtype)
             audio = audio * mask[None, :]
             # channel remap (static per group)
             if self.channels_in == 1:
@@ -247,20 +293,11 @@ class FileBatch:
             if ctx.channels >= 2:
                 left, right = panning_factors(pan)
                 audio = audio.at[0].multiply(left).at[1].multiply(right)
+            return audio
 
-            advance = s0 * np.float32(n) + resid[-1]
-            total, lo_new = ds_add(frac0, lo0, advance)
-            carry = jnp.floor(total)
-            new_base = self._fold_state(base0 + carry.astype(jnp.int32),
-                                        frames, lstart, lend)
-            return (new_base, total - carry, lo_new), audio
-
-        (nb, nf, nl), out = jax.vmap(lane)(
-            state["base"], state["frac"], state["frac_lo"], state["buf"],
-            meta["frames"], meta["repeat"], meta["loop_start"],
-            meta["loop_end"], meta["ratio"], meta["fade_in"],
-            meta["fade_out"], meta["start_time"],
-            volume, panning, speed, stop_at, kill_at, seek_flag, seek_pos,
+        out = jax.vmap(lane_post)(
+            audio, mask, meta["fade_in"], meta["fade_out"],
+            meta["start_time"], volume, panning, stop_at,
         )
         new_state = {"base": nb, "frac": nf, "frac_lo": nl,
                      "buf": state["buf"], "meta": meta}

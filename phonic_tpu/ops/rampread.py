@@ -1,0 +1,329 @@
+"""Fused Pallas ramp-read: 4-point Hermite fractional reads of
+ramp-structured positions, source windows DMA'd HBM->VMEM, tap selection
+via in-register one-hot dots (the MXU as a lane-permute engine).
+
+This is the round-5 replacement for the two-stage one-hot matmul read
+(ops/resample.py:hermite_read_mm2) on the hot paths: file sources, sampler
+voices, grain streams.  The mm2 formulation is HBM-bound — every chunk
+materializes [C, 128]-wide one-hot/window intermediates to HBM and streams
+the packed buffer through the MXU (docs/PERF.md: 16 sources = 21.6 ms of
+the 25.6 ms headline block).  Here each grid step copies only the rows the
+chunk actually touches into VMEM and every selection intermediate lives in
+registers.
+
+Position contract (same as hermite_read_mm2): per-sample position steps
+are bounded, |positions[i+1] - positions[i]| <= smax, EXCEPT at mod-fold
+jumps (loops / circular wraps / pingpong folds), which are exact: a folded
+128-output group's position VALUES occupy at most two clusters, each of
+spread <= 127*smax + 4, covered by the group's two row slices; a folded
+chunk's slice anchors occupy at most two row bands, each covered by one
+band window (see _anchors).  Callers clamp their per-sample steps to smax
+(the speed-bucket contract, ops/resample.py:speed_bucket).
+
+Behavioural spec matched: reference src/utils/resampler/cubic.rs:121-142
+(Niemitalo x-form expanded to per-tap weights — identical tap values; the
+4-term tap summation order differs from the x-form Horner evaluation by
+<= a few ulp per sample, same property as hermite_read_mm) and reference
+src/source/file/preloaded.rs:270-332 (positions past EOF read zero).
+
+Mosaic-relay constraints that shaped the design (scripts/
+probe_mosaic_feats.py, round 5):
+  * a trailing dim of 1 is lane-padded to 128 physically, so a
+    "values on sublanes" [frames, 1] layout is 128x-wasteful and its DMA
+    slices don't lower -> the buffer is packed as rows [R, 128] with
+    sample s at (row s>>7, lane s&127);
+  * cross-lane selection (output lane o needs sample lane (kil[o]+t)&127)
+    is not a native VPU op -> one-hot f32 dots [SL,128]@[128,128] on the
+    MXU; taps split by row parity into TWO dots per (group, slice):
+    row-A taps (lane0+t <= 127) and row-B taps (lane wrap, row+1);
+  * dynamic sublane slices must be 8-aligned (unaligned offsets FAULT the
+    TPU worker) -> slice bases are align8 rows, SL covers span + 7 rows;
+  * SMEM block shapes must take the trailing two dims whole;
+  * scalar VMEM reads are unsupported — scalars stay in SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+PAD_LEFT = 4  # zero guard samples packed before sample 0
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def slice_rows(smax: int) -> int:
+    """Rows of one group slice: covers a 128-output group cluster
+    (spread <= 127*smax + 4 samples) plus taps, the 2-sample anchor margin
+    and the <=7-row align8 loss.  Also the bound under which the one-fold-
+    per-group argument holds: 127*smax + 8 <= SL*128 - 1032."""
+    sl = 16
+    while 127 * int(smax) + 8 > sl * LANE - 1032:
+        sl += 8
+    return sl
+
+
+def window_rows(chunk: int, smax: int) -> int:
+    """Rows of one band window: covers every slice anchor of a band
+    (anchor spread <= chunk*smax travel) plus a slice + align margins."""
+    sl = slice_rows(smax)
+    spread = -(-int(chunk) * int(smax) // LANE)
+    return -(-(spread + sl + 24) // 8) * 8
+
+
+def pack(buf, min_rows: int = 0):
+    """Host-side packing: [..., frames] float -> float32 [..., R, 128]
+    with sample s at (row (s+PAD_LEFT)>>7, lane (s+PAD_LEFT)&127), zero
+    guard samples before 0 (taps of positions near 0 read zeros without
+    branching) and a zero tail so clamped slices/windows stay in range.
+    ``min_rows`` must be >= the window_rows() of the widest (chunk, smax)
+    the buffer will be read with."""
+    a = np.asarray(buf, np.float32)
+    frames = a.shape[-1]
+    rows = -(-(frames + PAD_LEFT) // LANE) + slice_rows(16) + 8
+    rows = max(-(-rows // 8) * 8, int(min_rows))
+    out = np.zeros(a.shape[:-1] + (rows * LANE,), np.float32)
+    out[..., PAD_LEFT:PAD_LEFT + frames] = a
+    return out.reshape(a.shape[:-1] + (rows, LANE))
+
+
+def _weights(frac):
+    """Per-tap weights of the Niemitalo Hermite x-form (exact expansion of
+    cubic.rs:128-141; identical to ops/resample.hermite_read_mm)."""
+    f = frac
+    f2 = f * f
+    f3 = f2 * f
+    w_m1 = f2 - 0.5 * (f + f3)
+    w_y0 = 1.0 - 2.5 * f2 + 1.5 * f3
+    w_y1 = 0.5 * f + 2.0 * f2 - 1.5 * f3
+    w_y2 = 0.5 * (f3 - f2)
+    return w_m1, w_y0, w_y1, w_y2
+
+
+def _align8(r):
+    return (r // 8) * 8
+
+
+def _anchors(kil, sl, wrb, rtot):
+    """XLA prolog: per-group slice bases + per-chunk band row windows.
+
+    kil: [b, nc, ngrp, LANE] int32 (clipped leftmost-tap sample indices).
+
+    Within a chunk, positions advance by <= smax per sample except at
+    mod-fold jumps, so a group's position values occupy at most two
+    clusters (>= 2 folds per group forces the fold interval — and with it
+    the whole group span — under 128*smax < SL*128 - 1032, i.e. the
+    unwrapped case).  Slice 1 anchors below the group min, slice 2 (only
+    when the group span exceeds one slice's guaranteed coverage) below the
+    group max.  The same argument at chunk scale bounds the slice anchors
+    to two row bands, each covered by one wrb-row band window.
+
+    Returns (crow [b, nc, 2], brrel [b, nc, ngrp, 2],
+             babs [b, nc, ngrp, 2], gwrap [b, nc, ngrp]) — crow absolute
+    8-aligned band base rows; brrel slice offsets into the stacked
+    [2*wrb] window scratch (band k base = k*wrb); babs absolute slice
+    base SAMPLES (base_row * 128)."""
+    gmin = jnp.min(kil, axis=-1)
+    gmax = jnp.max(kil, axis=-1)
+    wrap = (gmax - gmin > sl * LANE - 1032).astype(jnp.int32)
+    br1 = jnp.clip(_align8((jnp.maximum(gmin - 2, 0)) // LANE), 0, rtot - sl)
+    br2 = jnp.clip(_align8((gmax + 4) // LANE - sl + 8), 0, rtot - sl)
+    br2_used = jnp.where(wrap > 0, br2, br1)
+    amin = jnp.min(jnp.minimum(br1, br2_used), axis=-1)
+    amax = jnp.max(jnp.maximum(br1, br2_used), axis=-1)
+    ca = jnp.clip(amin, 0, rtot - wrb)
+    cb = jnp.clip(amax + sl - wrb, 0, rtot - wrb)
+    crow = jnp.stack([ca, cb], axis=-1).astype(jnp.int32)
+
+    def rel_of(br):
+        hi = br > ca[..., None] + (wrb - sl)  # belongs to band window 1
+        base = jnp.where(hi, cb[..., None], ca[..., None])
+        rel = jnp.clip(br - base, 0, wrb - sl)
+        return rel + jnp.where(hi, wrb, 0)
+
+    brrel = jnp.stack([rel_of(br1), rel_of(br2)], axis=-1).astype(jnp.int32)
+    babs = (jnp.stack([br1, br2], axis=-1) * LANE).astype(jnp.int32)
+    return crow, brrel, babs, wrap
+
+
+def _read_kernel(c, sl, wrb, ch, src_hbm, smap_ref, crow_ref, brrel_ref,
+                 babs_ref, gwrap_ref, kil_ref, frac_ref, out_ref, win_ref,
+                 sem_ref):
+    """One (lane b, chunk j) per grid step.
+
+    win_ref: VMEM scratch [ch, 2*wrb, LANE] — the two band windows stacked
+    on the row axis; sem_ref: DMA semaphores [2]."""
+    ngrp = c // LANE
+    s = smap_ref[0, 0, 0]
+
+    def dma(band):
+        return pltpu.make_async_copy(
+            src_hbm.at[s, :, pl.ds(crow_ref[0, 0, 0, band], wrb), :],
+            win_ref.at[:, pl.ds(band * wrb, wrb), :],
+            sem_ref.at[band])
+
+    d0 = dma(0)
+    d1 = dma(1)
+    d0.start()
+    d1.start()
+    d0.wait()
+    d1.wait()
+
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    subsl = jax.lax.broadcasted_iota(jnp.int32, (sl, LANE), 0)
+
+    for g in range(ngrp):
+        kil_g = kil_ref[0, 0, g, :]
+        frac_g = frac_ref[0, 0, g, :]
+        w0, w1, w2, w3 = _weights(frac_g[None, :])  # each [1, LANE]
+
+        def select(band, lane_mask):
+            """4-tap weighted select of this group's lanes from ``band``'s
+            slice: one one-hot dot for the row-A taps (lane0+t <= 127) and
+            one for the row-B taps (lane-wrapped, row+1)."""
+            sl0 = brrel_ref[0, 0, g, band]
+            base = babs_ref[0, 0, g, band]
+            idx0 = jnp.clip(kil_g - base, 0, sl * LANE - 4)[None, :]
+            lane0 = jnp.mod(idx0, LANE)
+            row_a = idx0 // LANE  # [1, LANE]
+            d = sub128 - lane0  # [l, o]: tap t of output o sits at d == t
+            ha = jnp.where(d == 0, w0, 0.0)
+            ha = jnp.where(d == 1, w1, ha)
+            ha = jnp.where(d == 2, w2, ha)
+            ha = jnp.where(d == 3, w3, ha)
+            # lane-wrapped taps: l = lane0 + t - 128 -> d == t - 128
+            hb = jnp.where(d == 1 - LANE, w1, 0.0)
+            hb = jnp.where(d == 2 - LANE, w2, hb)
+            hb = jnp.where(d == 3 - LANE, w3, hb)
+            ha = ha * lane_mask
+            hb = hb * lane_mask
+            ma = (subsl == row_a).astype(jnp.float32)
+            mb = (subsl == row_a + 1).astype(jnp.float32)
+            outs = []
+            for cc in range(ch):
+                v = win_ref[cc, pl.ds(sl0, sl), :]  # [sl, LANE]
+                ba = jax.lax.dot_general(
+                    v, ha, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                bb = jax.lax.dot_general(
+                    v, hb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                outs.append(jnp.sum(ba * ma + bb * mb, axis=0))  # [LANE]
+            return outs
+
+        # exact lane partition: slice 1 takes lanes whose taps it fully
+        # covers; slice 2 strictly the rest.  For unwrapped groups every
+        # lane satisfies the slice-1 cut and slice 2 never runs.
+        m1 = (kil_g - babs_ref[0, 0, g, 0] <= sl * LANE - 4)[None, :]
+        vals = select(0, m1.astype(jnp.float32))
+        for cc in range(ch):
+            out_ref[0, cc, pl.ds(g * LANE, LANE)] = vals[cc]
+
+        @pl.when(gwrap_ref[0, 0, 0, g] > 0)
+        def _(m1=m1):
+            vals2 = select(1, 1.0 - m1.astype(jnp.float32))
+            for cc in range(ch):
+                cur = out_ref[0, cc, pl.ds(g * LANE, LANE)]
+                out_ref[0, cc, pl.ds(g * LANE, LANE)] = cur + vals2[cc]
+
+
+@functools.partial(jax.jit, static_argnames=("smax", "chunk", "interpret"))
+def _ramp_read_call(src, smap, kil, frac, smax, chunk, interpret):
+    b, n = kil.shape
+    ch = src.shape[1]
+    rtot = src.shape[2]
+    c = int(chunk)
+    sl = slice_rows(smax)
+    wrb = window_rows(c, smax)
+    if rtot < wrb:
+        raise ValueError(
+            f"packed buffer too short for the read window: rows={rtot}"
+            f" < window_rows={wrb}; pack(min_rows=window_rows(chunk,"
+            " smax)) or shrink the chunk")
+    nc = n // c
+    ngrp = c // LANE
+
+    kil4 = kil.reshape(b, nc, ngrp, LANE)
+    frac4 = frac.reshape(b, nc, ngrp, LANE)
+    crow, brrel, babs, gwrap = _anchors(kil4, sl, wrb, rtot)
+
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_read_kernel, c, sl, wrb, ch),
+        grid=(b, nc),
+        in_specs=[
+            # SMEM blocks take the trailing two dims whole (Mosaic: each of
+            # the last two block dims must equal the array dim or be 8/128-
+            # divisible) — hence the singleton reshapes below
+            pl.BlockSpec(memory_space=pl.ANY),  # src [S, ch, R, 128]
+            smem((1, 1, 1), lambda i, j: (i, 0, 0)),
+            smem((1, 1, 1, 2), lambda i, j: (i, j, 0, 0)),
+            smem((1, 1, ngrp, 2), lambda i, j: (i, j, 0, 0)),
+            smem((1, 1, ngrp, 2), lambda i, j: (i, j, 0, 0)),
+            smem((1, 1, 1, ngrp), lambda i, j: (i, j, 0, 0)),
+            vmem((1, 1, ngrp, LANE), lambda i, j: (i, j, 0, 0)),
+            vmem((1, 1, ngrp, LANE), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=vmem((1, ch, c), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, ch, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ch, 2 * wrb, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(src, smap[:, None, None], crow[:, :, None, :], brrel, babs,
+      gwrap[:, :, None, :], kil4, frac4)
+
+
+def ramp_read(src_packed, smap, positions, smax, *, chunk=1024,
+              interpret=None):
+    """Batched 4-point Hermite read of ramp ``positions``.
+
+    src_packed: [S, ch, R, 128] device array from :func:`pack`.
+    smap: [B] int32 — which src_packed row each batch lane reads.
+    positions: [B, N] float32 fractional frame positions (post-fold).
+    smax: static int per-sample step bound (2**speed_bucket).
+
+    Out-of-range positions return 0 (matching ``hermite_read`` semantics:
+    missing taps contribute zeros via the packed guard samples; fully
+    out-of-range positions are masked here).  Returns [B, ch, N] float32.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    rtot = src_packed.shape[-2]
+    pos = jnp.asarray(positions, jnp.float32)
+    b, n = pos.shape
+    k = jnp.floor(pos)
+    frac = pos - k
+    kil = k.astype(jnp.int32) - 1 + PAD_LEFT
+    lim = rtot * LANE - 4
+    valid = (kil >= 0) & (kil <= lim)
+    kil = jnp.clip(kil, 0, lim)
+
+    c = int(min(chunk, -(-n // LANE) * LANE))
+    npad = -(-n // c) * c
+    if npad != n:
+        # edge-pad (NOT zero-pad): zero tails would add a fake low value
+        # cluster to the last group, which can push a genuinely folded
+        # group to three clusters — beyond the two-slice coverage contract
+        kil = jnp.pad(kil, ((0, 0), (0, npad - n)), mode="edge")
+        frac = jnp.pad(frac, ((0, 0), (0, npad - n)), mode="edge")
+    out = _ramp_read_call(src_packed, jnp.asarray(smap, jnp.int32),
+                          kil, frac, int(smax), c, bool(interpret))
+    if npad != n:
+        out = out[..., :n]
+    return out * valid[:, None, :]

@@ -67,6 +67,47 @@ def test_batched_loops_and_repeats():
     np.testing.assert_allclose(a, b, atol=2e-6)
 
 
+def _force_rr(prog):
+    """Flip every file batch to the Pallas ramp-read path; on CPU the
+    kernel runs in interpret mode, so this pins rr == mm2 end-to-end."""
+    from phonic_tpu.graph import batching
+    from phonic_tpu.ops import rampread as rr
+    assert prog.file_batches
+    for fb in prog.file_batches.values():
+        fb.mode = "rr"
+        fb.buffers_rr = rr.pack(
+            fb.buffers, min_rows=rr.window_rows(batching.RR_CHUNK, 64))
+    return prog
+
+
+def test_batched_rr_read_matches_mm2():
+    pa, sa = build(True, seed=1)
+    pb, _ = build(True, seed=1)
+    _force_rr(pb)
+    a = pa.render(duration_frames=6144)
+    b = pb.render(duration_frames=6144)
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_batched_rr_read_loops():
+    def make(batch, force):
+        main = Mixer("main")
+        for i in range(3):
+            x = np.linspace(0, 1, 1000 + i * 100, dtype=np.float32)
+            buf = AudioFileBuffer.from_array(
+                x[None, :], SR, loop_range=(100, 800 + i * 50))
+            main.add_source(FileSource(buf, FilePlaybackOptions(
+                repeat=None, fade_out_secs=0.0,
+                speed=1.0 + 0.37 * i), name=f"l{i}"))
+        cfg = EngineConfig(sample_rate=SR, block_frames=1024,
+                           batch_sources=batch)
+        prog = RenderProgram(main, cfg)
+        return _force_rr(prog) if force else prog
+    a = make(True, True).render(duration_frames=4096)
+    b = make(True, False).render(duration_frames=4096)
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
 def test_adopt_carries_batched_effect_state():
     """Topology edits must carry batched effect-chain lane states (delay
     rings keep ringing through an adopt), covering RenderProgram.adopt's

@@ -154,3 +154,29 @@ def test_no_envelope_one_shot():
     assert dur is not None and abs(dur - 4800) < 16
     out = prog.render()
     assert np.max(np.abs(out[:, :4000])) > 0.1
+
+
+def test_rr_read_matches_default(monkeypatch):
+    """The Pallas ramp-read voice path (interpret mode on CPU) must match
+    the mm2/gather read path through a full multi-note render, including
+    a loop range and pitched notes (read-window fold contract)."""
+    import phonic_tpu.generators.sampler as smod
+
+    def build(force):
+        monkeypatch.setattr(smod, "_FORCE_RR", force)
+        buf = tone_buffer(frames=9000)
+        s = Sampler(buf, GeneratorPlaybackOptions(voices=3),
+                    envelope=AhdsrConfig(attack=0.005, release=0.05))
+        s.set_loop_range((500, 7500), time=0)
+        a = s.note_on(60, volume=0.8, time=100)
+        b = s.note_on(67, volume=0.6, time=900)
+        c = s.note_on(53, volume=0.7, time=2500)
+        s.note_off(a, time=4000)
+        s.note_off(b, time=6000)
+        s.note_off(c, time=7000)
+        prog = make_prog(s)
+        return prog.render(duration_frames=8192)
+
+    a = build(False)
+    b = build(True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
