@@ -315,13 +315,13 @@ def grain_state_init(pool: int = POOL_SIZE):
     }
 
 
-def granular_voice_block(
+def granular_voice_alloc(
     state: dict,
     *,
     frame0,  # i32 scalar: global frame of block start
     n: int,
     sr: int,
-    mono_buf,  # [frames] f32 (+ the engine keeps no guard here; wraps circularly)
+    frames: int,  # source length in frames (positions fold on this circle)
     loop_range,  # traced (on, start_norm, end_norm) scalars; on<=0.5 = off
     note_start,  # i32 scalar: global frame of current note-on (resets pool)
     held,  # bool[n]: may trigger new grains (note held, pre-release)
@@ -338,10 +338,14 @@ def granular_voice_block(
     seed: int,
     max_triggers: int,
     max_read_speed: float = 4.0,
-    mono_ext=None,  # optional precomputed source_ext(mono_buf, span) [E, 3]
 ):
-    """Render one voice's granular output for a block -> (state, [2, n])."""
-    frames = mono_buf.shape[0]
+    """Trigger/allocate/evolve one voice's grain pool for a block, up to
+    (but excluding) the source read: returns
+    ``(new_state, fidx [G, n], g [G, n])`` — per-grain read positions in
+    source frames and the per-sample grain weights (window envelope x grain
+    volume, gated by activity).  The read + pan mix live in
+    :func:`granular_voice_block` / the engine's hoisted Pallas ramp-read
+    (generators/sampler.py:_process_granular)."""
     file_dur_secs = frames / sr
     ii = jnp.arange(n, dtype=jnp.int32)
     gframes = frame0 + ii
@@ -502,19 +506,81 @@ def granular_voice_block(
     pos_folded = ls + jnp.mod(pos - ls, ll)
     looped = slots["g_loop"][:, None] > 0.5
     pos = jnp.where(looped, pos_folded, jnp.mod(pos, 1.0))
+    fidx = pos * jnp.float32(frames - 1)
+
+    ENVELOPE_THRESHOLD = 1e-5
+    g = jnp.where(g_active & (env > ENVELOPE_THRESHOLD), env, 0.0)
+
+    new_state = dict(slots)
+    new_state.update({
+        "trigger_phase": jnp.where(jnp.any(held), new_trigger_phase, trigger_phase),
+        "playhead": playhead[-1],
+        "in_loop": in_loop_end,
+        "rng_count": rng_count,
+        "seq_next": seq_next,
+    })
+    return new_state, fidx, g
+
+
+def grain_mix(s, g, g_pan):
+    """Weighted equal-power-less pan mix of grain streams: s [G, n] source
+    reads, g [G, n] grain weights, g_pan [G] -> [2, n]
+    (granular.rs:933-941)."""
+    windowed = s * g
+    left = jnp.sum(windowed * (1.0 - g_pan[:, None]) * 0.5, axis=0)
+    right = jnp.sum(windowed * (1.0 + g_pan[:, None]) * 0.5, axis=0)
+    return jnp.stack([left, right])
+
+
+def granular_voice_block(
+    state: dict,
+    *,
+    frame0,
+    n: int,
+    sr: int,
+    mono_buf,  # [frames] f32 (wraps circularly; no guard frames)
+    loop_range,
+    note_start,
+    held, speed, vol, pan,
+    size_ms, density, variation, spray, pan_spread, position, pos_mod, step,
+    speed_mod, overlap_mode, window_mode, window_table=None, direction=None,
+    seed: int = 0,
+    max_triggers: int = 8,
+    max_read_speed: float = 4.0,
+    mono_ext=None,  # optional precomputed source_ext(mono_buf, span) [E]
+):
+    """Render one voice's granular output for a block -> (state, [2, n]).
+
+    Composition of :func:`granular_voice_alloc`, the source read, and
+    :func:`grain_mix`.  On TPU the engine instead hoists the read across
+    voices into one Pallas ramp-read (sampler._process_granular); this
+    composed path serves the CPU/gather and mm formulations."""
+    frames = mono_buf.shape[0]
+    new_state, fidx, g = granular_voice_alloc(
+        state, frame0=frame0, n=n, sr=sr, frames=frames,
+        loop_range=loop_range, note_start=note_start, held=held, speed=speed,
+        vol=vol, pan=pan, size_ms=size_ms, density=density,
+        variation=variation, spray=spray, pan_spread=pan_spread,
+        position=position, pos_mod=pos_mod, step=step, speed_mod=speed_mod,
+        overlap_mode=overlap_mode, window_mode=window_mode,
+        window_table=window_table, direction=direction, seed=seed,
+        max_triggers=max_triggers, max_read_speed=max_read_speed)
+
+    ls = jnp.asarray(loop_range[1], jnp.float32)
+    ll = jnp.maximum(jnp.asarray(loop_range[2], jnp.float32) - ls, 1e-9)
 
     # Catmull-Rom read with circular wrap (granular.rs:899-933)
-    fidx = pos * jnp.float32(frames - 1)
+    use_mm = jax.default_backend() in ("tpu", "axon")
     if use_mm:
         span = int(math.ceil(n * max_read_speed)) + 8
         lf = jnp.float32(frames - 1)
         s = _source_read_mm(
             mono_ext if mono_ext is not None else source_ext(mono_buf, span),
             frames, fidx,
-            d=slots["g_inc"] * lf,
-            loop_s=jnp.where(slots["g_loop"] > 0.5, ls, 0.0) * lf,
-            loop_len=jnp.where(slots["g_loop"] > 0.5, ll, 1.0) * lf,
-            first_j=jnp.clip(slots["g_trig"] - frame0, 0, n - 1),
+            d=new_state["g_inc"] * lf,
+            loop_s=jnp.where(new_state["g_loop"] > 0.5, ls, 0.0) * lf,
+            loop_len=jnp.where(new_state["g_loop"] > 0.5, ll, 1.0) * lf,
+            first_j=jnp.clip(new_state["g_trig"] - frame0, 0, n - 1),
             span=span,
         )
     else:
@@ -529,18 +595,4 @@ def granular_voice_block(
         c = -0.5 * y0 + 0.5 * y2
         s = ((a * frac + b) * frac + c) * frac + y1
 
-    ENVELOPE_THRESHOLD = 1e-5
-    g = jnp.where(g_active & (env > ENVELOPE_THRESHOLD), env, 0.0)
-    windowed = s * g  # [G, n]
-    left = jnp.sum(windowed * (1.0 - slots["g_pan"][:, None]) * 0.5, axis=0)
-    right = jnp.sum(windowed * (1.0 + slots["g_pan"][:, None]) * 0.5, axis=0)
-
-    new_state = dict(slots)
-    new_state.update({
-        "trigger_phase": jnp.where(jnp.any(held), new_trigger_phase, trigger_phase),
-        "playhead": playhead[-1],
-        "in_loop": in_loop_end,
-        "rng_count": rng_count,
-        "seq_next": seq_next,
-    })
-    return new_state, jnp.stack([left, right])
+    return new_state, grain_mix(s, g, new_state["g_pan"])

@@ -636,6 +636,16 @@ class Sampler(Generator):
             # device-resident window LUT (embedded constants re-stage per
             # execution on some backends, CLAUDE.md)
             st["gwin"] = jnp.asarray(grain_windows().reshape(-1))
+            if _use_rr():
+                # circularly-extended source, packed for the Pallas ramp
+                # read (ext[k] = g(k-1): file-circle tap wrap); positions
+                # shift by +1 at the call site (_process_granular)
+                mono_np = np.asarray(self._mono_buffer(ctx.sample_rate))
+                ext = np.concatenate([mono_np[-1:], mono_np, mono_np[:1]])
+                mrs = int(math.ceil(self.granular.max_read_speed))
+                st["gbuf_rr"] = jnp.asarray(rr.pack(
+                    ext[None, None, :],
+                    min_rows=rr.window_rows(1024, max(1, mrs))))
         return st
 
     def _envelope_params(self, params):
@@ -850,9 +860,11 @@ class Sampler(Generator):
         amt = jnp.asarray(params["_mod_amt"], jnp.float32)
         bip = jnp.asarray(params["_mod_bip"], jnp.float32)
 
-        def render_voice(gr_state, c_act, c_note, c_vol, c_pan, c_age0, c_rel,
-                         c_spd, t_time, t_note, t_vol, t_pan, t_rel, t_spd,
+        def voice_prolog(c_act, c_note, c_vol, c_pan, c_age0, c_rel, c_spd,
+                         t_time, t_note, t_vol, t_pan, t_rel, t_spd,
                          voice_idx):
+            """Per-voice note logic + modulation -> the granular engine's
+            per-sample parameter dict and the note-start frame."""
             has_trig = (t_time < n) & (t_vol > 0.0)
             in_b = i >= t_time
             age = jnp.where(in_b & has_trig, i - t_time, c_age0 + i)
@@ -892,6 +904,28 @@ class Sampler(Generator):
                 speed_mod=mods[6],
                 window_mode=wmode, direction=direction,
             )
+            return per_sample, note_start
+
+        def voice_env_post(audio, c_act, c_age0, c_rel, t_time, t_rel,
+                           t_vol):
+            """Voice-level AHDSR after the grain mix (voice.rs:470-486)."""
+            has_trig = (t_time < n) & (t_vol > 0.0)
+            in_b = i >= t_time
+            active = jnp.where(in_b & has_trig, True, c_act > 0.5)
+            if env_p is not None:
+                env_a = ahdsr_ops.ahdsr_block(env_p, 1.0, c_age0, c_rel, n)
+                env_b = ahdsr_ops.ahdsr_block(env_p, 1.0, -t_time, t_rel, n)
+                env = jnp.where(in_b & has_trig, env_b,
+                                env_a * (c_act > 0.5).astype(jnp.float32))
+                return audio * env[None, :]
+            return audio * active.astype(jnp.float32)[None, :]
+
+        def render_voice(gr_state, c_act, c_note, c_vol, c_pan, c_age0, c_rel,
+                         c_spd, t_time, t_note, t_vol, t_pan, t_rel, t_spd,
+                         voice_idx):
+            per_sample, note_start = voice_prolog(
+                c_act, c_note, c_vol, c_pan, c_age0, c_rel, c_spd, t_time,
+                t_note, t_vol, t_pan, t_rel, t_spd, voice_idx)
 
             def run_chunk(gs, t0, cn, mt, ext):
                 sl = {k: jax.lax.dynamic_slice(v, (t0,), (cn,))
@@ -937,28 +971,77 @@ class Sampler(Generator):
                 gr_state, audio = run_chunk(gr_state, jnp.int32(0), n,
                                             max_trig, ext)
 
-            # voice-level AHDSR (applied after the grain mix, voice.rs:470-486)
-            if env_p is not None:
-                env_a = ahdsr_ops.ahdsr_block(env_p, 1.0, c_age0, c_rel, n)
-                env_b = ahdsr_ops.ahdsr_block(env_p, 1.0, -t_time, t_rel, n)
-                env = jnp.where(in_b & has_trig, env_b,
-                                env_a * (c_act > 0.5).astype(jnp.float32))
-                audio = audio * env[None, :]
-            else:
-                audio = audio * active.astype(jnp.float32)[None, :]
-            return gr_state, audio
+            return gr_state, voice_env_post(audio, c_act, c_age0, c_rel,
+                                            t_time, t_rel, t_vol)
 
         voice_idx = jnp.arange(self.options.voices, dtype=jnp.int32)
-        grains, outs = jax.vmap(
-            render_voice, in_axes=(0,) + (0,) * 13 + (0,)
-        )(
-            state["grains"],
+        voice_rows = (
             params["_cont_active"], params["_cont_note"], params["_cont_vol"],
             params["_cont_pan"], params["_cont_age0"], params["_cont_rel"],
             params["_cont_spd"], params["_trig_time"], params["_trig_note"],
             params["_trig_vol"], params["_trig_pan"], params["_trig_rel"],
             params["_trig_spd"], voice_idx,
         )
+
+        if _use_rr():
+            # Hoisted-read formulation: the chunk scan moves OUTSIDE the
+            # voice vmap so every voice's every grain reads in ONE Pallas
+            # ramp-read per chunk (ops/rampread.py) — the pool positions
+            # are affine ramps folded on the file circle, i.e. exactly the
+            # kernel's two-cluster contract.  Reads come from the
+            # circularly-extended packed source (state["gbuf_rr"],
+            # ext[k] = g(k-1)), so fidx+1 reproduces the reference's
+            # file-circle tap wrap (granular.rs:899-933).
+            from .granular import granular_voice_alloc, grain_mix
+
+            ps, note_starts = jax.vmap(voice_prolog)(*voice_rows)
+            nv = self.options.voices
+            gbuf = state["gbuf_rr"]
+            frames_i = int(frames)
+            smax_i = max(1, int(math.ceil(eff_mrs)))
+            if n > _GRANULAR_CHUNK and n % _GRANULAR_CHUNK == 0:
+                cn = _GRANULAR_CHUNK
+            else:
+                cn = n
+            mt = int(math.ceil(100.0 * cn / sr)) + 2
+
+            def chunk_body(gr, ci):
+                t0 = ci * cn
+                sl = {k: jax.lax.dynamic_slice(
+                    v, (jnp.int32(0), t0), (v.shape[0], cn))
+                    for k, v in ps.items()}
+
+                def alloc_one(gs, slv, ns, vi):
+                    return granular_voice_alloc(
+                        gs, frame0=frame0 + t0, n=cn, sr=sr, frames=frames_i,
+                        loop_range=loop_norm, note_start=ns,
+                        overlap_mode=overlap, window_table=gwin,
+                        seed=self.seed ^ (vi + 1) * 0x51ED,
+                        max_triggers=mt, max_read_speed=eff_mrs, **slv)
+
+                new_gr, fidx, g = jax.vmap(alloc_one)(gr, sl, note_starts,
+                                                      voice_idx)
+                pool = fidx.shape[1]
+                s = rr.ramp_read(
+                    gbuf, jnp.zeros((nv * pool,), jnp.int32),
+                    fidx.reshape(nv * pool, cn) + 1.0, smax=smax_i,
+                )[:, 0, :].reshape(nv, pool, cn)
+                audio = jax.vmap(grain_mix)(s, g, new_gr["g_pan"])
+                return new_gr, audio  # [V, 2, cn]
+
+            grains, autos = jax.lax.scan(
+                chunk_body, state["grains"],
+                jnp.arange(n // cn, dtype=jnp.int32))
+            # [nch, V, 2, cn] -> [V, 2, n]
+            audio_v = jnp.moveaxis(autos, 0, 2).reshape(nv, 2, n)
+            outs = jax.vmap(voice_env_post)(
+                audio_v, params["_cont_active"], params["_cont_age0"],
+                params["_cont_rel"], params["_trig_time"],
+                params["_trig_rel"], params["_trig_vol"])
+        else:
+            grains, outs = jax.vmap(
+                render_voice, in_axes=(0,) + (0,) * 13 + (0,)
+            )(state["grains"], *voice_rows)
         mix = jnp.sum(outs, axis=0)
         if ctx.channels == 1:
             mix = ((mix[0] + mix[1]) * 0.5)[None, :]

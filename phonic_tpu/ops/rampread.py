@@ -11,6 +11,12 @@ the 25.6 ms headline block).  Here each grid step copies only the rows the
 chunk actually touches into VMEM and every selection intermediate lives in
 registers.
 
+The buffer is packed as OVERLAPPED rows at stride 124 (the mm_pack trick,
+ops/resample.py:MM_STRIDE): row r holds samples [124r, 124r+128), so the
+4-tap quad of any position lives in ONE row at lanes lo..lo+3 (lo <= 123)
+and selection is a single weighted one-hot dot [SL,128]@[128,128] per
+(128-output group, channel, slice) — no second row-wrap pass.
+
 Position contract (same as hermite_read_mm2): per-sample position steps
 are bounded, |positions[i+1] - positions[i]| <= smax, EXCEPT at mod-fold
 jumps (loops / circular wraps / pingpong folds), which are exact: a folded
@@ -30,12 +36,9 @@ Mosaic-relay constraints that shaped the design (scripts/
 probe_mosaic_feats.py, round 5):
   * a trailing dim of 1 is lane-padded to 128 physically, so a
     "values on sublanes" [frames, 1] layout is 128x-wasteful and its DMA
-    slices don't lower -> the buffer is packed as rows [R, 128] with
-    sample s at (row s>>7, lane s&127);
-  * cross-lane selection (output lane o needs sample lane (kil[o]+t)&127)
-    is not a native VPU op -> one-hot f32 dots [SL,128]@[128,128] on the
-    MXU; taps split by row parity into TWO dots per (group, slice):
-    row-A taps (lane0+t <= 127) and row-B taps (lane wrap, row+1);
+    slices don't lower -> rows of 128 lanes;
+  * cross-lane selection (output lane o needs tap lane lo[o]+t) is not a
+    native VPU op -> one-hot f32 dots on the MXU;
   * dynamic sublane slices must be 8-aligned (unaligned offsets FAULT the
     TPU worker) -> slice bases are align8 rows, SL covers span + 7 rows;
   * SMEM block shapes must take the trailing two dims whole;
@@ -53,7 +56,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-PAD_LEFT = 4  # zero guard samples packed before sample 0
+STRIDE = 124    # samples per row step (4-sample overlap holds any tap quad)
+PAD_LEFT = 4    # zero guard samples packed before sample 0
+# exact integer div by STRIDE via multiply-shift (Mosaic has no native
+# non-pow2 i32 div): floor(i/124) == (i * 8457) >> 20 for 0 <= i < 2*10^5
+_DIV_M, _DIV_S = 8457, 20
 
 
 def _on_tpu() -> bool:
@@ -65,11 +72,11 @@ def _on_tpu() -> bool:
 
 def slice_rows(smax: int) -> int:
     """Rows of one group slice: covers a 128-output group cluster
-    (spread <= 127*smax + 4 samples) plus taps, the 2-sample anchor margin
-    and the <=7-row align8 loss.  Also the bound under which the one-fold-
-    per-group argument holds: 127*smax + 8 <= SL*128 - 1032."""
+    (spread <= 127*smax + 4 samples) plus taps, anchor margin and the
+    <=7-row align8 loss.  Also the bound under which the one-fold-
+    per-group argument holds: 127*smax + 8 <= (SL-1)*124 - 1000."""
     sl = 16
-    while 127 * int(smax) + 8 > sl * LANE - 1032:
+    while 127 * int(smax) + 8 > (sl - 1) * STRIDE - 1000:
         sl += 8
     return sl
 
@@ -78,24 +85,26 @@ def window_rows(chunk: int, smax: int) -> int:
     """Rows of one band window: covers every slice anchor of a band
     (anchor spread <= chunk*smax travel) plus a slice + align margins."""
     sl = slice_rows(smax)
-    spread = -(-int(chunk) * int(smax) // LANE)
+    spread = -(-int(chunk) * int(smax) // STRIDE)
     return -(-(spread + sl + 24) // 8) * 8
 
 
 def pack(buf, min_rows: int = 0):
     """Host-side packing: [..., frames] float -> float32 [..., R, 128]
-    with sample s at (row (s+PAD_LEFT)>>7, lane (s+PAD_LEFT)&127), zero
-    guard samples before 0 (taps of positions near 0 read zeros without
-    branching) and a zero tail so clamped slices/windows stay in range.
-    ``min_rows`` must be >= the window_rows() of the widest (chunk, smax)
-    the buffer will be read with."""
+    overlapped rows (row r = flat samples [124r, 124r+128)), with sample s
+    at flat index s + PAD_LEFT: zero guard samples before 0 (taps of
+    positions near 0 read zeros without branching) and a zero tail so
+    clamped slices/windows stay in range.  ``min_rows`` must be >= the
+    window_rows() of the widest (chunk, smax) the buffer will be read
+    with."""
     a = np.asarray(buf, np.float32)
     frames = a.shape[-1]
-    rows = -(-(frames + PAD_LEFT) // LANE) + slice_rows(16) + 8
+    rows = -(-(frames + PAD_LEFT + 4) // STRIDE) + slice_rows(16) + 8
     rows = max(-(-rows // 8) * 8, int(min_rows))
-    out = np.zeros(a.shape[:-1] + (rows * LANE,), np.float32)
-    out[..., PAD_LEFT:PAD_LEFT + frames] = a
-    return out.reshape(a.shape[:-1] + (rows, LANE))
+    flat = np.zeros(a.shape[:-1] + ((rows - 1) * STRIDE + LANE,), np.float32)
+    flat[..., PAD_LEFT:PAD_LEFT + frames] = a
+    idx = np.arange(rows)[:, None] * STRIDE + np.arange(LANE)[None, :]
+    return np.ascontiguousarray(flat[..., idx])
 
 
 def _weights(frac):
@@ -123,22 +132,23 @@ def _anchors(kil, sl, wrb, rtot):
     Within a chunk, positions advance by <= smax per sample except at
     mod-fold jumps, so a group's position values occupy at most two
     clusters (>= 2 folds per group forces the fold interval — and with it
-    the whole group span — under 128*smax < SL*128 - 1032, i.e. the
-    unwrapped case).  Slice 1 anchors below the group min, slice 2 (only
-    when the group span exceeds one slice's guaranteed coverage) below the
-    group max.  The same argument at chunk scale bounds the slice anchors
-    to two row bands, each covered by one wrb-row band window.
+    the whole group span — under 128*smax, i.e. the unwrapped case).
+    Slice 1 anchors below the group min, slice 2 (only when the group span
+    exceeds one slice's guaranteed coverage) below the group max.  The
+    same argument at chunk scale bounds the slice anchors to two row
+    bands, each covered by one wrb-row band window.
 
     Returns (crow [b, nc, 2], brrel [b, nc, ngrp, 2],
              babs [b, nc, ngrp, 2], gwrap [b, nc, ngrp]) — crow absolute
     8-aligned band base rows; brrel slice offsets into the stacked
     [2*wrb] window scratch (band k base = k*wrb); babs absolute slice
-    base SAMPLES (base_row * 128)."""
+    base SAMPLES (base_row * STRIDE)."""
     gmin = jnp.min(kil, axis=-1)
     gmax = jnp.max(kil, axis=-1)
-    wrap = (gmax - gmin > sl * LANE - 1032).astype(jnp.int32)
-    br1 = jnp.clip(_align8((jnp.maximum(gmin - 2, 0)) // LANE), 0, rtot - sl)
-    br2 = jnp.clip(_align8((gmax + 4) // LANE - sl + 8), 0, rtot - sl)
+    wrap = (gmax - gmin > (sl - 1) * STRIDE - 1000).astype(jnp.int32)
+    br1 = jnp.clip(_align8((jnp.maximum(gmin - 2, 0)) // STRIDE),
+                   0, rtot - sl)
+    br2 = jnp.clip(_align8((gmax + 4) // STRIDE - sl + 8), 0, rtot - sl)
     br2_used = jnp.where(wrap > 0, br2, br1)
     amin = jnp.min(jnp.minimum(br1, br2_used), axis=-1)
     amax = jnp.max(jnp.maximum(br1, br2_used), axis=-1)
@@ -153,7 +163,7 @@ def _anchors(kil, sl, wrb, rtot):
         return rel + jnp.where(hi, wrb, 0)
 
     brrel = jnp.stack([rel_of(br1), rel_of(br2)], axis=-1).astype(jnp.int32)
-    babs = (jnp.stack([br1, br2], axis=-1) * LANE).astype(jnp.int32)
+    babs = (jnp.stack([br1, br2], axis=-1) * STRIDE).astype(jnp.int32)
     return crow, brrel, babs, wrap
 
 
@@ -182,6 +192,7 @@ def _read_kernel(c, sl, wrb, ch, src_hbm, smap_ref, crow_ref, brrel_ref,
 
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     subsl = jax.lax.broadcasted_iota(jnp.int32, (sl, LANE), 0)
+    cut = (sl - 1) * STRIDE + 120  # max covered idx0 (taps fit the slice)
 
     for g in range(ngrp):
         kil_g = kil_ref[0, 0, g, :]
@@ -190,44 +201,34 @@ def _read_kernel(c, sl, wrb, ch, src_hbm, smap_ref, crow_ref, brrel_ref,
 
         def select(band, lane_mask):
             """4-tap weighted select of this group's lanes from ``band``'s
-            slice: one one-hot dot for the row-A taps (lane0+t <= 127) and
-            one for the row-B taps (lane-wrapped, row+1)."""
+            slice: the overlapped-row packing puts all 4 taps in one row,
+            so selection is a single weighted one-hot dot per channel."""
             sl0 = brrel_ref[0, 0, g, band]
             base = babs_ref[0, 0, g, band]
-            idx0 = jnp.clip(kil_g - base, 0, sl * LANE - 4)[None, :]
-            lane0 = jnp.mod(idx0, LANE)
-            row_a = idx0 // LANE  # [1, LANE]
+            idx0 = jnp.clip(kil_g - base, 0, cut)[None, :]
+            row_a = (idx0 * _DIV_M) >> _DIV_S  # exact idx0 // 124
+            lane0 = idx0 - row_a * STRIDE      # 0..123
             d = sub128 - lane0  # [l, o]: tap t of output o sits at d == t
-            ha = jnp.where(d == 0, w0, 0.0)
-            ha = jnp.where(d == 1, w1, ha)
-            ha = jnp.where(d == 2, w2, ha)
-            ha = jnp.where(d == 3, w3, ha)
-            # lane-wrapped taps: l = lane0 + t - 128 -> d == t - 128
-            hb = jnp.where(d == 1 - LANE, w1, 0.0)
-            hb = jnp.where(d == 2 - LANE, w2, hb)
-            hb = jnp.where(d == 3 - LANE, w3, hb)
-            ha = ha * lane_mask
-            hb = hb * lane_mask
+            h = jnp.where(d == 0, w0, 0.0)
+            h = jnp.where(d == 1, w1, h)
+            h = jnp.where(d == 2, w2, h)
+            h = jnp.where(d == 3, w3, h)
+            h = h * lane_mask
             ma = (subsl == row_a).astype(jnp.float32)
-            mb = (subsl == row_a + 1).astype(jnp.float32)
             outs = []
             for cc in range(ch):
                 v = win_ref[cc, pl.ds(sl0, sl), :]  # [sl, LANE]
-                ba = jax.lax.dot_general(
-                    v, ha, (((1,), (0,)), ((), ())),
+                b = jax.lax.dot_general(
+                    v, h, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-                bb = jax.lax.dot_general(
-                    v, hb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-                outs.append(jnp.sum(ba * ma + bb * mb, axis=0))  # [LANE]
+                outs.append(jnp.sum(b * ma, axis=0))  # [LANE]
             return outs
 
         # exact lane partition: slice 1 takes lanes whose taps it fully
         # covers; slice 2 strictly the rest.  For unwrapped groups every
         # lane satisfies the slice-1 cut and slice 2 never runs.
-        m1 = (kil_g - babs_ref[0, 0, g, 0] <= sl * LANE - 4)[None, :]
+        m1 = (kil_g - babs_ref[0, 0, g, 0] <= cut)[None, :]
         vals = select(0, m1.astype(jnp.float32))
         for cc in range(ch):
             out_ref[0, cc, pl.ds(g * LANE, LANE)] = vals[cc]
@@ -310,7 +311,7 @@ def ramp_read(src_packed, smap, positions, smax, *, chunk=1024,
     k = jnp.floor(pos)
     frac = pos - k
     kil = k.astype(jnp.int32) - 1 + PAD_LEFT
-    lim = rtot * LANE - 4
+    lim = (rtot - 1) * STRIDE + 120  # all 4 taps stay inside the last row
     valid = (kil >= 0) & (kil <= lim)
     kil = jnp.clip(kil, 0, lim)
 

@@ -63,9 +63,8 @@ def main():
                                             pos[i])) for i in range(4)])
     print(json.dumps({"maxerr": float(np.abs(got - ref).max())}), flush=True)
 
-    shapes = [(16, 131072, 2, 2, 1024), (16, 131072, 2, 2, 2048),
-              (64, 131072, 2, 2, 2048), (256, 131072, 2, 2, 2048),
-              (1000, 131072, 2, 1, 2048)]
+    shapes = [(16, 131072, 2, 2, 1024), (64, 131072, 2, 2, 1024),
+              (1000, 131072, 4, 1, 1024)]
     if len(sys.argv) > 1:
         a = [int(x) for x in sys.argv[1:]]
         shapes = [tuple(a[i:i + 5]) for i in range(0, len(a), 5)]

@@ -203,3 +203,40 @@ def test_runtime_loop_range_captures_grains():
     quiet = np.sqrt(np.mean(out[0, 9 * N :] ** 2))
     assert loud > 0.05, loud
     assert quiet < loud * 0.05, (loud, quiet)
+
+
+def test_rr_hoisted_read_matches_default(monkeypatch):
+    """The hoisted Pallas ramp-read granular path (chunk scan outside the
+    voice vmap, one fused read per chunk, circular-ext packing) must match
+    the per-voice gather path, including loops, reverse grains, spray and
+    a mid-render retrigger."""
+    import phonic_tpu.generators.sampler as smod
+    from phonic_tpu import GranularConfig
+    from phonic_tpu.generators.base import GeneratorPlaybackOptions
+
+    def make():
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=9000).astype(np.float32) * 0.5
+        buf = AudioFileBuffer.from_array(x[None, :], SR)
+        s = Sampler(buf, GeneratorPlaybackOptions(voices=2)) \
+            .with_granular_playback(GranularConfig(
+                size_ms=40.0, density_hz=60.0, position=0.4, variation=0.6,
+                spray=0.4, pan_spread=0.5, direction="Random"))
+        s.set_loop_range((1000, 8000), time=0)
+        s.note_on(60, volume=0.8, time=100)
+        s.note_on(67, volume=0.6, time=3000)
+        return s
+
+    def run(force):
+        monkeypatch.setattr(smod, "_FORCE_RR", force)
+        # block > _GRANULAR_CHUNK exercises the chunk scan; the second
+        # render call below covers the single-chunk path
+        out = render(make(), 8192, block=4096)
+        return np.asarray(out)
+
+    a = run(False)
+    b = run(True)
+    # per-grain read rounding (Horner vs expanded tap weights, both exact
+    # f32 Catmull-Rom, <= 2e-6 each: test_granular_mmread) accumulates
+    # across ~dozens of overlapping grains in the mix
+    np.testing.assert_allclose(a, b, atol=1e-4)
