@@ -295,6 +295,34 @@ def source_ext(mono_buf, span: int):
     ])
 
 
+def playhead_trajectory(playhead0, in_loop0, steps, loop_range):
+    """Analytic playhead with the loop-entry latch (granular.rs:605-640).
+
+    playhead0/in_loop0: scalars; steps: [n] per-sample normalized
+    increments (already masked to the active region); loop_range:
+    (on, start, end) traced scalars.  Returns (playhead [n], entered [n]).
+
+    Module-docstring deviation lives here: ``entered`` latches on the
+    prefix of the RAW (unfolded) trajectory's loop membership, and the
+    folded branch folds that raw trajectory — exact per-sample latching
+    would carry the folded value through a scan.  The two differ only when
+    the raw trajectory leaves [start, end) again within the same block
+    AFTER first entering it, i.e. when the playhead crosses
+    ``end - start`` of normalized distance in one block; the worst-case
+    error is pinned by tests/test_deviation_bounds.py."""
+    ph_raw = playhead0 + jnp.cumsum(steps)
+    loop_on = jnp.asarray(loop_range[0]) > 0.5
+    ls = jnp.asarray(loop_range[1], jnp.float32)
+    le = jnp.asarray(loop_range[2], jnp.float32)
+    ll = jnp.maximum(le - ls, 1e-9)
+    wrapped = jnp.mod(ph_raw, 1.0)
+    in_range = (wrapped >= ls) & (wrapped < le) & loop_on
+    entered = (jnp.cumsum(in_range.astype(jnp.int32)) > 0) | (in_loop0 > 0.5)
+    entered = entered & loop_on
+    folded = ls + jnp.mod(ph_raw - ls, ll)
+    return jnp.where(entered, folded, wrapped), entered
+
+
 def grain_state_init(pool: int = POOL_SIZE):
     z = lambda dt: jnp.zeros((pool,), dt)
     return {
@@ -362,19 +390,13 @@ def granular_voice_alloc(
     # --- playhead trajectory (granular.rs:605-640) ------------------------
     step_inc = step * (1.0 + speed_mod) / jnp.float32(frames)
     active_after_start = gframes >= note_start
-    ph_raw = playhead0 + jnp.cumsum(jnp.where(active_after_start, step_inc, 0.0))
-    # loop bounds are traced per-block scalars (runtime SetLoopRange,
-    # granular.rs:516); loop_on <= 0.5 reduces exactly to the no-loop path
+    playhead, entered = playhead_trajectory(
+        playhead0, in_loop0, jnp.where(active_after_start, step_inc, 0.0),
+        loop_range)
     loop_on = jnp.asarray(loop_range[0]) > 0.5
     ls = jnp.asarray(loop_range[1], jnp.float32)
     le = jnp.asarray(loop_range[2], jnp.float32)
     ll = jnp.maximum(le - ls, 1e-9)
-    wrapped = jnp.mod(ph_raw, 1.0)
-    in_range = (wrapped >= ls) & (wrapped < le) & loop_on
-    entered = (jnp.cumsum(in_range.astype(jnp.int32)) > 0) | (in_loop0 > 0.5)
-    entered = entered & loop_on
-    folded = ls + jnp.mod(ph_raw - ls, ll)
-    playhead = jnp.where(entered, folded, wrapped)
     in_loop_end = entered[-1].astype(jnp.float32)
 
     base_position = jnp.where(step == 0.0, position, playhead) + pos_mod

@@ -52,21 +52,33 @@ def _oracle_playhead(ph0, inc, n, ls, le):
 
 
 def _engine_playhead(ph0, inc, n, ls, le):
-    """Faithful transcription of the engine's block formula
-    (generators/granular.py:174-190: cumsum raw -> prefix-entry latch ->
-    fold of the raw accumulation)."""
-    ph_raw = ph0 + np.cumsum(np.full(n, inc, np.float64))
-    ll = le - ls
-    wrapped = np.mod(ph_raw, 1.0)
-    in_range = (wrapped >= ls) & (wrapped < le)
-    entered = np.cumsum(in_range.astype(np.int64)) > 0
-    folded = ls + np.mod(ph_raw - ls, ll)
-    return np.where(entered, folded, wrapped)
+    """The engine's ACTUAL block formula (granular.playhead_trajectory),
+    evaluated in f64 via numpy equivalence is no longer needed — call the
+    real jax function (blocks of 2048 with state carry, as the engine
+    runs it)."""
+    import jax.numpy as jnp
+    from phonic_tpu.generators.granular import playhead_trajectory
+    out = np.empty(n, np.float64)
+    ph, in_loop = np.float32(ph0), 0.0
+    block = 2048
+    for t0 in range(0, n, block):
+        cn = min(block, n - t0)
+        steps = jnp.full((cn,), np.float32(inc))
+        ph_b, entered = playhead_trajectory(
+            jnp.float32(ph), jnp.float32(in_loop), steps,
+            (jnp.float32(1.0), jnp.float32(ls), jnp.float32(le)))
+        out[t0:t0 + cn] = np.asarray(ph_b, np.float64)
+        ph = float(np.asarray(ph_b)[-1])
+        in_loop = float(np.asarray(entered)[-1])
+    return out
 
 
 def test_loop_latch_exact_without_global_wrap():
-    """Entering the loop before any global wrap: the block formula matches
-    the per-sample oracle to float accumulation error."""
+    """Entering the loop mid-block before any global wrap (the entry here
+    lands at sample ~3600, inside the second 2048 block): the engine's
+    real blockwise trajectory matches the per-sample oracle to f32
+    accumulation error — the latch itself introduces NO deviation in this
+    regime (a latch error would be O(loop_len) = 0.2)."""
     ls, le = 0.4, 0.6
     inc = 1.0 / 9000.0  # ~0.9 s to cross into the loop at 48 kHz
     got = _engine_playhead(0.0, inc, 30000, ls, le)
@@ -76,7 +88,7 @@ def test_loop_latch_exact_without_global_wrap():
     ll = le - ls
     dev = np.abs(got - want)
     dev = np.minimum(dev, ll - dev)
-    assert dev.max() < 1e-9, dev.max()
+    assert dev.max() < 1e-3, dev.max()
 
 
 def test_loop_latch_bounded_after_global_wrap():
@@ -94,12 +106,13 @@ def test_loop_latch_bounded_after_global_wrap():
     # both latch and remain inside [ls, le)
     assert np.all((got[-5000:] >= ls) & (got[-5000:] < le))
     assert np.all((want[-5000:] >= ls) & (want[-5000:] < le))
-    # deviation is a CONSTANT phase offset after both latch (no drift)
+    # deviation is a CONSTANT phase offset after both latch (no drift
+    # beyond f32 accumulation noise)
     tail = (got - want)[-5000:]
     offsets = np.mod(tail, ll)
-    assert (offsets.max() - offsets.min()) < 1e-6, "latch offset drifts"
+    assert (offsets.max() - offsets.min()) < 2e-3, "latch offset drifts"
     # and the offset is the predicted mod of the skipped global wrap
-    assert np.abs(tail).max() <= ll + 1e-9
+    assert np.abs(tail).max() <= ll + 1e-3
 
 
 # ---------------------------------------------------------------------------
@@ -166,3 +179,38 @@ def test_ahdsr_no_change_matches_oracle():
     env.note_on(1.0)
     want = np.array([env.run() for _ in range(SR // 2)], np.float32)
     assert np.abs(got - want).max() < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# 3. double steal of one voice within a block (sampler.py module docstring)
+# ---------------------------------------------------------------------------
+
+def test_double_steal_per_block_keeps_last_note():
+    """Documented deviation: when one voice is stolen TWICE inside a single
+    block, only the LAST trigger renders (the middle note vanishes and the
+    continuing note holds until the last trigger, not the first).  Pin that
+    exact semantic: 3 notes on 1 voice in one 2048 block must render
+    identically to the 2-note schedule (first note cut at the LAST
+    trigger's time, middle note absent)."""
+    from phonic_tpu.generators.base import GeneratorPlaybackOptions
+    def prog_with_v1(notes):
+        buf = AudioFileBuffer.from_array(
+            (0.5 * np.sin(2 * np.pi * 330 *
+                          np.arange(24000) / SR)).astype(np.float32)[None],
+            SR)
+        s = Sampler(buf, GeneratorPlaybackOptions(voices=1),
+                    envelope=AhdsrConfig(attack=0.001, release=0.02))
+        for note, t in notes:
+            s.note_on(note, volume=0.8, time=t)
+        m = Mixer("main")
+        m.add_source(s)
+        return RenderProgram(m, EngineConfig(sample_rate=SR,
+                                             block_frames=2048))
+
+    # triple schedule: t=0, t=500 (vanishes), t=1200 (kept)
+    a = prog_with_v1([(60, 0), (64, 500), (67, 1200)]).render(
+        duration_frames=4096)
+    # documented equivalent: first note runs to the LAST trigger, last note
+    # from there; the middle note never sounds
+    b = prog_with_v1([(60, 0), (67, 1200)]).render(duration_frames=4096)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
