@@ -21,8 +21,12 @@
 #include <cstring>
 #include <cstdio>
 #include <cmath>
+#include <cerrno>
 #include <dlfcn.h>
+#include <pthread.h>
+#include <sched.h>
 #include <thread>
+#include <unistd.h>
 
 namespace {
 
@@ -90,7 +94,9 @@ inline int16_t f32_to_s16(float v) {
 
 inline int32_t f32_to_s32(float v) {
     float c = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
-    return (int32_t)llrintf((double)c * 2147483647.0);
+    // llrint (double), NOT llrintf: the float rounding of c*2^31-1 would
+    // overflow int32 at c == 1.0 (float(2147483647.0) == 2147483648.0f)
+    return (int32_t)llrint((double)c * 2147483647.0);
 }
 
 uint32_t next_pow2(uint32_t v) {
@@ -99,7 +105,24 @@ uint32_t next_pow2(uint32_t v) {
     return p;
 }
 
+void promote_to_rt() {
+    // Audio-thread priority promotion, the analog of the reference's
+    // audio_thread_priority promotion of decode/worker threads
+    // (src/source/mixed/submixer/thread_pool.rs:440-449,
+    // src/source/file/streamed.rs:567).  SCHED_FIFO needs CAP_SYS_NICE;
+    // fall back to a negative nice value, and to nothing when sandboxed —
+    // promotion is best-effort by design, exactly like the reference's
+    // (which logs and continues on failure).
+    sched_param sp{};
+    sp.sched_priority = sched_get_priority_min(SCHED_FIFO) + 10;
+    if (pthread_setschedparam(pthread_self(), SCHED_FIFO, &sp) != 0) {
+        errno = 0;
+        if (nice(-11) == -1 && errno != 0) { /* best-effort */ }
+    }
+}
+
 void consumer_loop(Ring* r) {
+    promote_to_rt();
     const uint32_t chunk = 256;  // frames per device write (~5.3 ms at 48k)
     float* scratch = (float*)std::malloc(sizeof(float) * chunk * r->channels);
     // conversion buffer for integer device formats (s32 covers s16 too)
