@@ -290,6 +290,50 @@ def _ramp_read_call(src, smap, kil, frac, smax, chunk, interpret):
       gwrap[:, :, None, :], kil4, frac4)
 
 
+@functools.lru_cache(maxsize=None)
+def _rr_vmappable(smax, chunk, interpret):
+    """A custom-vmap wrapper of the kernel call: vmapping a pallas_call
+    would try to block the ANY-space source operand per batch lane (which
+    Mosaic refuses) — instead fold the outer batch into the kernel's own
+    lane dimension B (engine lane banks, BatchedRenderProgram render
+    lanes and the multichip dryrun all vmap over this)."""
+
+    @jax.custom_batching.custom_vmap
+    def core(src, smap, kil, frac):
+        return _ramp_read_call(src, smap, kil, frac, smax, chunk, interpret)
+
+    @core.def_vmap
+    def rule(axis_size, in_batched, src, smap, kil, frac):
+        src_b, smap_b, kil_b, frac_b = in_batched
+        ns = src.shape[1] if src_b else src.shape[0]
+        if smap_b:
+            smap2 = smap.astype(jnp.int32)
+        else:
+            smap2 = jnp.broadcast_to(smap.astype(jnp.int32),
+                                     (axis_size,) + smap.shape)
+        if src_b:
+            # per-lane sources: fold lanes into the source table and
+            # offset each lane's source ids into its own S-slab
+            src2 = src.reshape((axis_size * ns,) + src.shape[2:])
+            smap2 = smap2 + (jnp.arange(axis_size, dtype=jnp.int32)[:, None]
+                             * ns)
+        else:  # shared source table: ids pass through
+            src2 = src
+        b = kil.shape[-2] if kil_b else kil.shape[0]
+        n = kil.shape[-1]
+        if not kil_b:
+            kil = jnp.broadcast_to(kil, (axis_size,) + kil.shape)
+        if not frac_b:
+            frac = jnp.broadcast_to(frac, (axis_size,) + frac.shape)
+        # recurse through `core` so a further outer vmap folds again
+        out = core(
+            src2, smap2.reshape(axis_size * b),
+            kil.reshape(axis_size * b, n), frac.reshape(axis_size * b, n))
+        return out.reshape((axis_size, b) + out.shape[1:]), True
+
+    return core
+
+
 def ramp_read(src_packed, smap, positions, smax, *, chunk=1024,
               interpret=None):
     """Batched 4-point Hermite read of ramp ``positions``.
@@ -323,8 +367,8 @@ def ramp_read(src_packed, smap, positions, smax, *, chunk=1024,
         # group to three clusters — beyond the two-slice coverage contract
         kil = jnp.pad(kil, ((0, 0), (0, npad - n)), mode="edge")
         frac = jnp.pad(frac, ((0, 0), (0, npad - n)), mode="edge")
-    out = _ramp_read_call(src_packed, jnp.asarray(smap, jnp.int32),
-                          kil, frac, int(smax), c, bool(interpret))
+    out = _rr_vmappable(int(smax), c, bool(interpret))(
+        src_packed, jnp.asarray(smap, jnp.int32), kil, frac)
     if npad != n:
         out = out[..., :n]
     return out * valid[:, None, :]

@@ -139,3 +139,34 @@ def test_multi_source_batch_and_stereo():
                                   interpret=True))
     assert out.shape == (6, 2, 3000)
     assert np.abs(out - _read_ref(src, smap, pos)).max() <= TOL
+
+
+def test_vmap_folds_into_kernel_lanes():
+    """vmapping ramp_read (lane banks, BatchedRenderProgram, the multichip
+    dryrun) must fold the batch into the kernel's own B dim via the
+    custom-vmap rule — pallas ANY-space operands cannot be blocked per
+    lane.  Covers shared + per-lane sources and nesting."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    src = rng.normal(size=(2, 1, 3000)).astype(np.float32)
+    packed = jnp.asarray(rr.pack(src, min_rows=rr.window_rows(1024, 2)))
+    pos = (np.cumsum(rng.uniform(0.2, 2.0, (3, 4, 1000)), -1)
+           + rng.uniform(0, 50, (3, 4, 1))).astype(np.float32)
+    smap = np.array([0, 1, 0, 1], np.int32)
+    ref = np.stack([_read_ref(src, smap, pos[sl]) for sl in range(3)])
+
+    out = np.asarray(jax.vmap(lambda p: rr.ramp_read(
+        packed, smap, p, smax=2, interpret=True))(jnp.asarray(pos)))
+    assert np.abs(out - ref).max() <= TOL
+
+    packed_b = jnp.stack([packed, packed * 2.0])
+    out2 = np.asarray(jax.vmap(lambda pk, p: rr.ramp_read(
+        pk, smap, p, smax=2, interpret=True))(packed_b, jnp.asarray(pos[:2])))
+    assert np.abs(out2[0] - ref[0]).max() <= TOL
+    assert np.abs(out2[1] - 2.0 * ref[1]).max() <= 2 * TOL
+
+    out3 = np.asarray(jax.vmap(jax.vmap(lambda p: rr.ramp_read(
+        packed, smap, p, smax=2, interpret=True)))(
+            jnp.asarray(pos[:, None])))
+    assert np.abs(out3[:, 0] - ref).max() <= TOL
