@@ -261,10 +261,18 @@ def _force_real_execution():
 def main():
     import signal
 
-    # persistent compile cache: keeps the driver's bench run warm
+    # persistent compile cache: keeps the driver's bench run warm.  The
+    # cache lives INSIDE the repo because /tmp does not survive container
+    # recycling between the builder session and the driver's bench run
+    # (round 4's driver ran every shape cold and starved 3 configs).
     try:
+        import os
         import jax
-        jax.config.update("jax_compilation_cache_dir", "/tmp/phonic_jax_cache")
+        cache = os.environ.get(
+            "PHONIC_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -222,6 +222,9 @@ class Sampler(Generator):
             self.buffer.channels,
             self.buffer.sample_rate,
             self.buffer.loop_mode,
+            # the never-loops program omits _loop_* params and merges the
+            # two steal lanes into one read — group-static either way
+            self._can_loop(),
             round(self.options.fade_out_secs, 9),
             # read-path format must be group-static (mm-packed vs planar
             # gather fallback), and the coarse length bucket bounds the
@@ -298,6 +301,18 @@ class Sampler(Generator):
             if mt <= t:
                 current = rng
         return current
+
+    def _can_loop(self) -> bool:
+        """Static host-side gate: can looping EVER engage in this program?
+        False when the buffer carries no loop range and no SetLoopRange
+        message has been enqueued.  The never-loops program omits the
+        ``_loop_*`` params entirely, which (a) drops the fold math and (b)
+        lets the sampled path merge its two steal lanes into ONE read
+        stream (positions then hold the ramp-read kernel's two-cluster
+        contract with the steal jump as the only discontinuity).  The
+        first set_loop_range() changes the param pytree structure, i.e.
+        one planned retrace — the same pattern as note automation."""
+        return self.buffer.loop_range is not None or bool(self._loop_msgs)
 
     def set_modulation(self, source: str, target: str, amount: float,
                        bipolar: bool = True):
@@ -560,11 +575,15 @@ class Sampler(Generator):
             self._spd_bucket = max(b, getattr(self, "_spd_bucket", 0))
             out["_spd_tag"] = np.zeros((self._spd_bucket + 1,), np.float32)
         if getattr(self, "buffer", None) is not None:
-            rng = self._loop_at(block_start)
-            out["_loop_on"] = np.float32(0.0 if rng is None else 1.0)
-            out["_loop_start"] = np.float32(0.0 if rng is None else rng[0])
-            out["_loop_end"] = np.float32(
-                self.buffer.frames if rng is None else rng[1])
+            # _loop_* params exist only when looping can engage (see
+            # _can_loop: key presence is the static never-loops gate);
+            # granular always lowers them (loop_norm consumes them)
+            if self.granular is not None or self._can_loop():
+                rng = self._loop_at(block_start)
+                out["_loop_on"] = np.float32(0.0 if rng is None else 1.0)
+                out["_loop_start"] = np.float32(0.0 if rng is None else rng[0])
+                out["_loop_end"] = np.float32(
+                    self.buffer.frames if rng is None else rng[1])
             # traced buffer length: lets homogeneous samplers with
             # different-length buffers share one vmapped trace
             # (graph/batching.LeafBatch)
@@ -678,19 +697,26 @@ class Sampler(Generator):
             -1.0 / max(sr * self.options.fade_out_secs / math.log(100.0), 1e-9)
         )))
 
-        # loop bounds are traced per-block scalars so SetLoopRange messages
-        # change or disable looping without recompiling
-        loop_on = params["_loop_on"] > 0.5
-        loop_s = params["_loop_start"]
-        loop_e = params["_loop_end"]
-
         frames_live = params.get("_buf_frames", jnp.float32(frames))
 
-        def fold(pos):
-            folded = rs.loop_fold(pos, loop_s, loop_e, self.buffer.loop_mode)
-            p = jnp.where(loop_on, folded, pos)
-            live = loop_on | (pos < frames_live)
-            return p, live
+        # loop bounds are traced per-block scalars so SetLoopRange messages
+        # change or disable looping without recompiling; when looping can
+        # NEVER engage the keys are absent (static fast path, _can_loop)
+        never_loops = "_loop_on" not in params
+        if never_loops:
+            def fold(pos):
+                return pos, pos < frames_live
+        else:
+            loop_on = params["_loop_on"] > 0.5
+            loop_s = params["_loop_start"]
+            loop_e = params["_loop_end"]
+
+            def fold(pos):
+                folded = rs.loop_fold(pos, loop_s, loop_e,
+                                      self.buffer.loop_mode)
+                p = jnp.where(loop_on, folded, pos)
+                live = loop_on | (pos < frames_live)
+                return p, live
 
         use_rr = _use_rr()
         use_mm2 = (not use_rr) and rs.use_mm2(self.buffer.frames)
@@ -791,13 +817,29 @@ class Sampler(Generator):
 
         # hoisted read: both steal lanes of every voice in one call
         v = la[0].shape[0]
-        pos_all = jnp.concatenate([la[0], lb[0]])  # [2V, n] folded
+        if never_loops:
+            # merged single stream per voice: the steal hard-cut makes the
+            # two lanes' live masks disjoint in time (lane A strictly
+            # ii < t_time, lane B strictly ii >= t_time), so ONE position
+            # stream with a single jump at the steal point serves both
+            # lanes — half the read-kernel position bill.  Valid only when
+            # looping never engages: the steal jump is then the stream's
+            # only discontinuity, so the ramp-read two-cluster contract
+            # holds; a loop fold in the same 128-group would add a third
+            # cluster (which is why the loopable program keeps 2V streams).
+            t_time = params["_trig_time"]
+            switch = ((t_time < n) & (params["_trig_vol"] > 0.0))[:, None]
+            pos_all = jnp.where((ii[None, :] >= t_time[:, None]) & switch,
+                                lb[0], la[0])  # [V, n]
+        else:
+            pos_all = jnp.concatenate([la[0], lb[0]])  # [2V, n] folded
         if use_rr:
             # one fused Pallas ramp-read over all voice lanes
             # (ops/rampread.py; folded positions honor the two-cluster
             # fold contract — loop_fold jumps are mod-folds)
-            aud = rr.ramp_read(buf[None], jnp.zeros((2 * v,), jnp.int32),
-                               pos_all, smax=max(1, int(smax)))
+            aud = rr.ramp_read(
+                buf[None], jnp.zeros((pos_all.shape[0],), jnp.int32),
+                pos_all, smax=max(1, int(smax)))
         elif use_mm2:
             aud = jax.vmap(lambda p: rs.hermite_read_mm2(
                 buf, p, smax=smax))(pos_all)
@@ -809,8 +851,9 @@ class Sampler(Generator):
             out = lane(vol_a, pan_a, c_age0 + ii, c_rel, m_a, aud_a)
             return out + lane(vol_b, pan_b, ii - t_time, t_rel, m_b, aud_b)
 
+        aud_a, aud_b = (aud, aud) if never_loops else (aud[:v], aud[v:])
         outs = jax.vmap(voice_post)(
-            aud[:v], aud[v:], la[1], la[2], la[3], lb[1], lb[2], lb[3],
+            aud_a, aud_b, la[1], la[2], la[3], lb[1], lb[2], lb[3],
             params["_cont_age0"], params["_cont_rel"],
             params["_trig_time"], params["_trig_rel"],
         )

@@ -24,6 +24,7 @@ import time
 from typing import Optional, Union
 
 import numpy as np
+import jax
 
 from .config import EngineConfig
 from .errors import NotFoundError, ParameterError, PhonicError
@@ -897,6 +898,13 @@ class Player:
         block_index = self._position // prog.ctx.block_frames
         self._state, out = prog.step_packed(
             self._state, prog.packed_block_inputs(block_index))
+        # start the device->host copy NOW (async): by the time the pump
+        # materializes this block the data is already in flight, so the
+        # finish step pays ~one relay round trip instead of one per leaf
+        try:
+            jax.tree.map(lambda a: a.copy_to_host_async(), out)
+        except Exception:
+            pass  # non-jax leaves / backends without async copy
         self._position += prog.ctx.block_frames
         # carry the host time spent dispatching (not a wall-clock start):
         # in the pipelined pumps, other blocks' finish/write interleave
@@ -906,7 +914,11 @@ class Player:
     def _finish_block_locked(self, pending) -> np.ndarray:
         prog, out, dispatch_dt, _pos_after = pending
         t0 = time.perf_counter()
-        audio, mixer_levels = out
+        # ONE device->host fetch for the whole output tree: per-leaf
+        # np.asarray fetches cost a full relay round trip EACH (~30-70 ms
+        # on the tunneled TPU — 10 metering leaves made the realtime pump
+        # ~8x slower than the audio it rendered)
+        audio, mixer_levels = jax.device_get(out)
         self._mixer_levels = {
             path: AudioLevel(np.asarray(pk), np.asarray(rm))
             for path, (pk, rm) in mixer_levels.items()

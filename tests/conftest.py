@@ -18,3 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # float64 oracles in tests
+
+# Persistent CPU compile cache: the suite's wall time is dominated by XLA
+# compiles of large render programs; caching them across runs cuts repeat
+# suite runs several-fold (fresh containers still pay the first run).
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
