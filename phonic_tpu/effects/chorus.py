@@ -165,25 +165,25 @@ class ChorusEffect(Effect):
                          float(b + 1), float(H - 2))
         feedback = jnp.clip(params[FEEDBACK.id], -0.999, 0.999)
 
-        big0 = chrono_ops.begin(state["line"], n)
-
-        def sub_step(big, idx):
+        def sub_step(rw, idx):
+            # rolling window carry [2, H] (chrono_ops.read_frac_win): the
+            # whole-block [2, H+n] carry copied itself every scan step
             t0 = idx * b
 
             def sl(a):
                 return jax.lax.dynamic_slice(a, (t0,), (b,))
 
-            # read_frac offsets are per-output-sample delays (it advances by
-            # j internally, unlike ring_read_frac's wpos-relative offsets)
+            # read offsets are per-output-sample delays (the window read
+            # advances by j internally)
             offs = jnp.stack([sl(pos_l), sl(pos_r)])
-            d = chrono_ops.read_frac(big, H, t0, offs)  # [2, B]
+            d = chrono_ops.read_frac_win(rw, offs)  # [2, B]
             fb_j = sl(feedback)
             fl = jax.lax.dynamic_slice(filtered, (jnp.zeros_like(t0), t0), (2, b))
-            big = chrono_ops.write_at(big, H, t0, fl + d * fb_j[None, :])
-            return big, d
+            rw = chrono_ops.roll(rw, fl + d * fb_j[None, :])
+            return rw, d
 
-        big, wets = jax.lax.scan(
-            sub_step, big0, jnp.arange(n // b, dtype=jnp.int32),
+        rw, wets = jax.lax.scan(
+            sub_step, state["line"].hist, jnp.arange(n // b, dtype=jnp.int32),
         )
         wet = jnp.moveaxis(wets, 0, 1).reshape(2, n).astype(x.dtype)
 
@@ -191,7 +191,7 @@ class ChorusEffect(Effect):
         y = x * (1.0 - wet_mix)[None, :] + wet * wet_mix[None, :]
 
         new_state = {
-            "line": chrono_ops.end(big, n), "svf": svf,
+            "line": chrono_ops.Chrono(rw), "svf": svf,
             "lfo_l": lfo_l_state, "lfo_r": state["lfo_r"],
         }
         return new_state, y

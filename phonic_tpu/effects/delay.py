@@ -223,10 +223,11 @@ class DelayEffect(Effect):
         is_pp = mode == 1
 
         H = chrono_ops.hist_len(self._max_offset(ctx))
-        big0 = chrono_ops.begin(state["line"], n)
 
         def sub_step(carry, idx):
-            big, svf, dc, fb_state = carry
+            # rolling window carry [2, H] (chrono_ops.read_frac_win): the
+            # whole-block [2, H+n] carry copied itself every scan step
+            rw, svf, dc, fb_state = carry
             t0 = idx * b
 
             def sl(a):
@@ -235,7 +236,7 @@ class DelayEffect(Effect):
             d_j = sl(delay_samples)
             fb_j = sl(feedback)
             drive_j = sl(drive)
-            delayed = chrono_ops.read_frac(big, H, t0, d_j)  # [2, B]
+            delayed = chrono_ops.read_frac_win(rw, d_j)  # [2, B]
 
             coefs = filters.TptCoefficients(
                 sl(a1), sl(a2), sl(a3), sl(m0), sl(m1), sl(m2)
@@ -254,12 +255,12 @@ class DelayEffect(Effect):
             # stereo: own-channel feedback; pingpong: cross-channel
             l_in = jnp.where(is_pp, mono + prev[1] * fb_j, x_j[0] + prev[0] * fb_j)
             r_in = jnp.where(is_pp, prev[0] * fb_j, x_j[1] + prev[1] * fb_j)
-            big = chrono_ops.write_at(big, H, t0, jnp.stack([l_in, r_in]))
+            rw = chrono_ops.roll(rw, jnp.stack([l_in, r_in]))
 
-            return (big, svf, dc, clean[:, -1]), clean
+            return (rw, svf, dc, clean[:, -1]), clean
 
-        carry0 = (big0, state["svf"], state["dc"], state["fb"])
-        (big, svf, dc, fb_state), wets = jax.lax.scan(
+        carry0 = (state["line"].hist, state["svf"], state["dc"], state["fb"])
+        (rw, svf, dc, fb_state), wets = jax.lax.scan(
             sub_step, carry0, jnp.arange(n // b, dtype=jnp.int32)
         )
         wet = jnp.moveaxis(wets, 0, 1).reshape(2, n).astype(x.dtype)
@@ -274,7 +275,7 @@ class DelayEffect(Effect):
         side = (out[0] - out[1]) * 0.5
         y = jnp.stack([mid + side * width, mid - side * width])
 
-        new_state = {"line": chrono_ops.end(big, n), "svf": svf, "dc": dc,
+        new_state = {"line": chrono_ops.Chrono(rw), "svf": svf, "dc": dc,
                      "fb": fb_state, "lfo": lfo_state}
         return new_state, y
 

@@ -230,9 +230,14 @@ class ReverbEffect(Effect):
         # are chronological [4, 2, H + n]: the write is one contiguous
         # dynamic_update_slice at H + t0, the integer-delay read one
         # contiguous dynamic_slice at H + t0 - delay (delay <= 4300 < H).
+        # The carry is the ROLLING history window itself ([4, 2, H]), NOT a
+        # [4, 2, H + n] absolute-time buffer: carrying the whole-block
+        # buffer through dynamic_update_slice made every scan step copy
+        # ~4 MB (XLA cannot alias a carry it also slices), which dominated
+        # the reverb's block cost.  Reads stay legal because a sub-block is
+        # shorter than the smallest reachable delay, so a step never reads
+        # its own writes: window index of an absolute delay d is H - d.
         h_ap = self._ap_buf
-        ap_big0 = jnp.concatenate(
-            [state["ap_buf"], jnp.zeros((4, 2, n), dt_s)], axis=-1)
 
         def ap_step(buf4, idx):
             t0 = idx * b_ap
@@ -240,23 +245,24 @@ class ReverbEffect(Effect):
             sig = jax.lax.dynamic_slice(
                 drive_in, (z, t0), (2, b_ap)).astype(dt_s)
             stage_outs = []
+            writes = []
             for a in range(4):
                 delayed = jax.lax.dynamic_slice(
-                    buf4, (jnp.int32(a), z, h_ap + t0 - ap_delay[a]),
+                    buf4, (jnp.int32(a), z, h_ap - ap_delay[a]),
                     (1, 2, b_ap))[0]
                 w = sig - delayed * 0.5
                 sig = w * 0.5 + delayed
-                buf4 = jax.lax.dynamic_update_slice(
-                    buf4, w[None], (jnp.int32(a), z, h_ap + t0))
+                writes.append(w)
                 stage_outs.append(sig)
+            buf4 = jnp.concatenate(
+                [buf4[:, :, b_ap:], jnp.stack(writes)], axis=-1)
             return buf4, jnp.stack(stage_outs)  # [4, 2, B]
 
-        ap_big, outs = jax.lax.scan(
-            ap_step, ap_big0, jnp.arange(n // b_ap, dtype=jnp.int32)
+        new_ap_buf, outs = jax.lax.scan(
+            ap_step, state["ap_buf"], jnp.arange(n // b_ap, dtype=jnp.int32)
         )
         stages = jnp.moveaxis(outs, 0, -2).reshape(4, 2, n)
         ap_i, ap_j, ap_k, ap_l = stages[0], stages[1], stages[2], stages[3]
-        new_ap_buf = ap_big[:, :, n:]
 
         # FDN line inputs (reverb.rs:275-283): a/h <- allpass L, b/g <- K,
         # c/f <- J, d/e <- I
@@ -276,13 +282,13 @@ class ReverbEffect(Effect):
         regen_b = regen
         h_ln = self._line_buf
         win = b_fdn + 2 * int(VIB_DEPTH) + 2  # window: B reads + 15 shifts + interp partner
-        line_big0 = jnp.concatenate(
-            [state["line_buf"], jnp.zeros((8, 2, n), dt_s)], axis=-1)
 
         vib_base = state["vib_phase"]  # vibrato phase at block start
 
         def fdn_step(carry, idx):
-            buf, fb = carry  # [8, 2, H+n], [8, 2]
+            # rolling-window carry (see ap_step comment): buf holds the
+            # last H samples; absolute delay d reads at window index H - d
+            buf, fb = carry  # [8, 2, H], [8, 2]
             t0 = idx * b_fdn
             z = jnp.zeros_like(t0)
             j = jnp.arange(b_fdn, dtype=jnp.int32)
@@ -299,10 +305,10 @@ class ReverbEffect(Effect):
             w_frac = offset - off_floor
             k_int = off_floor.astype(jnp.int32)  # [8, 2, B] in [0, 14]
 
-            # one contiguous window per line: buf[l, :, H + t0 - delay_l ...]
+            # one contiguous window per line: buf[l, :, H - delay_l ...]
             wins = jnp.concatenate([
                 jax.lax.dynamic_slice(
-                    buf, (jnp.int32(l), z, h_ln + t0 - line_delay[l]),
+                    buf, (jnp.int32(l), z, h_ln - line_delay[l]),
                     (1, 2, win))
                 for l in range(8)
             ])  # [8, 2, win]
@@ -328,16 +334,15 @@ class ReverbEffect(Effect):
 
             x_j = jax.lax.dynamic_slice(line_in, (z, z, t0), (8, 2, b_fdn))
             writes = (x_j + fb_prev).astype(dt_s)
-            buf = jax.lax.dynamic_update_slice(buf, writes, (z, z, h_ln + t0))
+            buf = jnp.concatenate([buf[:, :, b_fdn:], writes], axis=-1)
 
             out = jnp.mean(interp, axis=0)  # [2, B]
             return (buf, fb_now[:, :, -1]), out
 
-        (line_big, fb), outs = jax.lax.scan(
-            fdn_step, (line_big0, state["fb"]),
+        (line_buf, fb), outs = jax.lax.scan(
+            fdn_step, (state["line_buf"], state["fb"]),
             jnp.arange(n // b_fdn, dtype=jnp.int32)
         )
-        line_buf = line_big[:, :, n:]
         wet_sig = jnp.moveaxis(outs, 0, 1).reshape(2, n)
         # vibrato phase advances by inc per sample across the whole block;
         # wrap to [0, 2pi) so the accumulator never outgrows float32

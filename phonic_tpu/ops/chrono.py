@@ -133,3 +133,67 @@ def read_frac(big, H: int, t0, offsets):
     else:
         v1, v2 = jax.vmap(mm, in_axes=(None, None, 0))(hi, lo, win2)
     return v1 + (v2 - v1) * frac
+
+
+def read_frac_win(win, offsets):
+    """Rolling-window variant of :func:`read_frac`: ``win`` [ch, W] holds
+    the last W samples strictly BEFORE the current sub-block (newest last),
+    so no dynamic window slice and — crucially — no [ch, H + n] carry: a
+    scan that carries the whole-block buffer copies it every step (XLA
+    cannot alias a carry it also dynamically updates), which dominated the
+    feedback effects' block cost.  Output sample j reads window-relative
+    position W + j - offsets[..., j]; offsets must satisfy
+    B + 1 <= offs <= W - 2 (the same clamp as read_frac).  W must be a
+    multiple of 128 for the MXU path."""
+    ch, W = win.shape
+    per_channel = jnp.asarray(offsets).ndim == 2
+    b = jnp.asarray(offsets).shape[-1]
+    ptype = win.dtype if jnp.issubdtype(win.dtype, jnp.floating) else jnp.float32
+    offs = jnp.asarray(offsets).astype(ptype)
+    oi = jnp.floor(offs)
+    of = (offs - oi).astype(win.dtype)
+    is_int = of == 0
+    j = jnp.arange(b, dtype=jnp.int32)
+    rel = W + j - oi.astype(jnp.int32) - jnp.where(is_int, 0, 1)
+    frac = jnp.where(is_int, of, 1.0 - of)
+
+    if win.dtype == jnp.float64 or W % _LANE != 0:
+        v1 = jnp.take_along_axis(
+            win, jnp.broadcast_to(rel, (ch, b)), axis=-1)
+        v2 = jnp.take_along_axis(
+            win, jnp.broadcast_to(rel + 1, (ch, b)), axis=-1)
+        return v1 + (v2 - v1) * frac
+
+    rows = W // _LANE
+    win2 = win.reshape(ch, rows, _LANE)
+    hi = rel >> 7
+    lo = rel & 127
+    rr = jnp.arange(rows, dtype=jnp.int32)
+    lanes = jnp.arange(_LANE, dtype=jnp.int32)
+
+    def mm(oh_hi, oh_lo, w2):
+        # hi may reach rows-1 here (rel <= W-2); the +1 spill row is only
+        # needed when lo == 127, in which case rel+1 <= W-1 keeps hi at
+        # rows-2 — so the spill matmul uses the first rows-1 one-hots
+        oh = (oh_hi[:, None] == rr[None, :]).astype(w2.dtype)
+        w0 = jnp.matmul(oh, w2, precision=jax.lax.Precision.HIGHEST)
+        w1 = jnp.matmul(oh[:, :-1], w2[1:],
+                        precision=jax.lax.Precision.HIGHEST)
+        o = lanes[None, :] - oh_lo[:, None]
+        v1 = jnp.sum(jnp.where(o == 0, w0, 0.0), axis=-1)
+        v2 = jnp.sum(jnp.where(o == 1, w0, 0.0), axis=-1) + \
+            jnp.sum(jnp.where(o == 1 - _LANE, w1, 0.0), axis=-1)
+        return v1, v2
+
+    if per_channel:
+        v1, v2 = jax.vmap(mm)(hi, lo, win2)
+    else:
+        v1, v2 = jax.vmap(mm, in_axes=(None, None, 0))(hi, lo, win2)
+    return v1 + (v2 - v1) * frac
+
+
+def roll(win, writes):
+    """Advance the rolling window by one sub-block: drop the oldest B
+    frames, append ``writes`` [ch, B] as the newest."""
+    b = writes.shape[-1]
+    return jnp.concatenate([win[..., b:], writes.astype(win.dtype)], axis=-1)

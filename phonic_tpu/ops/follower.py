@@ -11,9 +11,10 @@ smoothers in ops/scan.py they cannot ride an associative scan.  XLA's
 sequential ``lax.scan`` costs ~1.5 us per step on this TPU regardless of
 unroll (131072-sample block: ~200 ms for the follower, ~440 ms for the
 gate).  The Pallas kernels below run the same per-sample loop on the
-scalar core with inputs staged in SMEM and outputs accumulated in vector
-registers (a lane-mask select per step) — measured ~10 ms per 131072-sample
-block including dispatch, numerically identical (max |err| 0.0 in probes).
+scalar core with inputs staged in SMEM and each step's output written as a
+scalar SMEM store (the earlier lane-mask vreg accumulate spent tc/128
+vector ops per sample; SMEM stores measured 1.7x faster standalone,
+bit-identical — scripts/probe_follower2.py).
 
 Routing: f32 + TPU backend + block >= _MIN_N -> Pallas; anything else
 (CPU tests, float64 strict renders) -> the XLA scan.  Equivalence is
@@ -51,24 +52,22 @@ def _interpret() -> bool:
 
 
 def _follower_kernel(tc, x_ref, aa_ref, ra_ref, env0_ref, out_ref, carry_ref):
+    # per-step scalar store into an SMEM output block: the previous
+    # formulation accumulated each step into a [1, tc] vreg via lane-mask
+    # select (tc/128 vector ops PER SAMPLE) — measured 44 -> 25.7 ms per
+    # 131072-sample block standalone, bit-identical (probe_follower2)
     @pl.when(pl.program_id(1) == 0)
     def _():
         carry_ref[0] = env0_ref[0]
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
-
-    def body(i, st):
-        env, acc = st
+    def body(i, env):
         in_db = x_ref[0, 0, i]
         a = jnp.where(in_db > env, aa_ref[0, 0, i], ra_ref[0, 0, i])
         env = env + a * (in_db - env)
-        acc = jnp.where(lanes == i, env, acc)
-        return env, acc
+        out_ref[0, 0, i] = env
+        return env
 
-    env, acc = jax.lax.fori_loop(
-        0, tc, body, (carry_ref[0], jnp.zeros((1, tc), jnp.float32)))
-    out_ref[0, :, :] = acc
-    carry_ref[0] = env
+    carry_ref[0] = jax.lax.fori_loop(0, tc, body, carry_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("tc",))
@@ -77,14 +76,12 @@ def _follower_call(x, aa, ra, env0, tc):
     grid = (b, n // tc)
     smem = pl.BlockSpec((1, 1, tc), lambda b, i: (b, 0, i),
                         memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec((1, 1, tc), lambda b, i: (b, 0, i),
-                        memory_space=pltpu.VMEM)
     e0 = pl.BlockSpec((1,), lambda b, i: (b,), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         functools.partial(_follower_kernel, tc),
         grid=grid,
         in_specs=[smem, smem, smem, e0],
-        out_specs=vmem,
+        out_specs=smem,
         out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
         interpret=_interpret(),
@@ -148,10 +145,8 @@ def _gate_kernel(tc, x_ref, aa_ref, ra_ref, thr_ref, rng_ref, hs_ref,
         carry_ref[1] = st0_ref[0, 1]
         carry_ref[2] = st0_ref[0, 2]
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
-
     def body(i, st):
-        env, hold, gain_db, acc = st
+        env, hold, gain_db = st
         in_db = x_ref[0, 0, i]
         aa = aa_ref[0, 0, i]
         ra = ra_ref[0, 0, i]
@@ -163,24 +158,19 @@ def _gate_kernel(tc, x_ref, aa_ref, ra_ref, thr_ref, rng_ref, hs_ref,
                          jnp.maximum(hold - 1.0, 0.0))
         a2 = jnp.where(target > gain_db, aa, ra)
         gain_db = gain_db + a2 * (target - gain_db)
-        acc = jnp.where(lanes == i, gain_db, acc)
-        return env, hold, gain_db, acc
+        out_ref[0, 0, i] = gain_db  # scalar SMEM store (see follower)
+        return env, hold, gain_db
 
-    env, hold, gain_db, acc = jax.lax.fori_loop(
-        0, tc, body,
-        (carry_ref[0], carry_ref[1], carry_ref[2],
-         jnp.zeros((1, tc), jnp.float32)))
-    out_ref[0, :, :] = acc
+    env, hold, gain_db = jax.lax.fori_loop(
+        0, tc, body, (carry_ref[0], carry_ref[1], carry_ref[2]))
     carry_ref[0] = env
     carry_ref[1] = hold
     carry_ref[2] = gain_db
     # final state rides a small second output, overwritten every chunk;
     # the last chunk's values survive
-    st_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-    st_vec = jnp.where(st_lanes == 0, env,
-                       jnp.where(st_lanes == 1, hold,
-                                 jnp.where(st_lanes == 2, gain_db, 0.0)))
-    st_ref[0, :, :] = st_vec
+    st_ref[0, 0] = env
+    st_ref[0, 1] = hold
+    st_ref[0, 2] = gain_db
 
 
 @functools.partial(jax.jit, static_argnames=("tc",))
@@ -189,23 +179,20 @@ def _gate_call(x, aa, ra, thr, rng, hs, st0, tc):
     grid = (b, n // tc)
     smem = pl.BlockSpec((1, 1, tc), lambda b, i: (b, 0, i),
                         memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec((1, 1, tc), lambda b, i: (b, 0, i),
-                        memory_space=pltpu.VMEM)
     s0 = pl.BlockSpec((1, 3), lambda b, i: (b, 0), memory_space=pltpu.SMEM)
-    stv = pl.BlockSpec((1, 1, _LANE), lambda b, i: (b, 0, 0),
-                       memory_space=pltpu.VMEM)
+    sts = pl.BlockSpec((1, 3), lambda b, i: (b, 0), memory_space=pltpu.SMEM)
     args = [v[:, None, :] for v in (x, aa, ra, thr, rng, hs)]
     gains, st = pl.pallas_call(
         functools.partial(_gate_kernel, tc),
         grid=grid,
         in_specs=[smem] * 6 + [s0],
-        out_specs=(vmem, stv),
+        out_specs=(smem, sts),
         out_shape=(jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 1, _LANE), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, 3), jnp.float32)),
         scratch_shapes=[pltpu.SMEM((3,), jnp.float32)],
         interpret=_interpret(),
     )(*args, st0)
-    return gains[:, 0, :], st[:, 0, :3]
+    return gains[:, 0, :], st
 
 
 def _gate_xla(in_db, aa, ra, thr, rng, hs, env0, hold0, gain0):
