@@ -308,22 +308,21 @@ def main():
         with open("bench_results.json", "w") as f:
             json.dump(results, f, indent=1)
 
+    # The scan8 x16-lane aggregate shape was dropped in round 5: wall time
+    # on this backend is proportional to total work regardless of lane
+    # batching or scan depth (probe_r5e: scan8 x1 = 131x, scan8 x4
+    # aggregate = 182x vs plain single-lane 183x), so the shape repeated
+    # the single-lane number while burning a 160-260 s compile budget.
     for name, make in CONFIGS.items():
         run_one(name, 420 if name != "player_rt_8192" else 300,
                 lambda make=make: bench_program(make()))
-        if name == HEADLINE:
-            run_one(f"{HEADLINE}_x16lanes_scan8", 420,
-                    lambda: bench_scan(config_mixer_graph(),
-                                       lanes=16, scan_blocks=8))
 
-    candidates = [results.get(f"{HEADLINE}_x16lanes_scan8"),
-                  results.get(HEADLINE)]
-    numeric = [v for v in candidates if isinstance(v, (int, float))]
-    value = max(numeric) if numeric else 0.0
+    value = results.get(HEADLINE)
+    value = value if isinstance(value, (int, float)) else 0.0
     print(json.dumps({
         "metric": "audio_seconds_rendered_per_sec_per_chip",
         "value": value,
-        "unit": "x_realtime_48kHz_stereo_16src_mixergraph_batched_lanes",
+        "unit": "x_realtime_48kHz_stereo_16src_mixergraph",
         "vs_baseline": round(value / 1000.0, 4),
     }))
 

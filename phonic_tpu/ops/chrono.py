@@ -13,8 +13,10 @@ read resolves inside one contiguous window ``big[:, t0 : t0 + H + B]``
 through one-hot row matmuls on the MXU (one-hot matmuls at
 ``Precision.HIGHEST`` reproduce the gathered f32 values exactly; the lerp
 uses the same ``v1 + (v2 - v1) * frac`` expression as ring_read_frac).
-(A bf16x3-split single-pass variant measured SLOWER in-graph on the target
-TPU — wider interleaved operands defeat the epilogue fusion.)
+Lower dot precisions are NOT exact on this relay even with a {0,1}
+one-hot operand — Precision.HIGH measured 2.4e-5 abs error on unit-scale
+data (probe_r5f), i.e. the backend's bf16x3 scheme truncates the DATA
+side — and did not measurably help the delay block anyway.
 
 float64 strict-parity renders use the same chronological layout with a
 plain take-based read (MXU is f32; the gather cost is acceptable there).
@@ -116,7 +118,8 @@ def read_frac(big, H: int, t0, offsets):
 
     def mm(oh_hi, oh_lo, w2):
         # [B, rows-1] one-hots select row hi and hi+1; the 1.0 entries make
-        # the matmul an exact f32 copy at Precision.HIGHEST
+        # the matmul an exact f32 copy at Precision.HIGHEST (HIGH is NOT
+        # exact on this backend — see module docstring)
         oh = (oh_hi[:, None] == rr[None, :]).astype(w2.dtype)
         w0 = jnp.matmul(oh, w2[:-1], precision=jax.lax.Precision.HIGHEST)
         w1 = jnp.matmul(oh, w2[1:], precision=jax.lax.Precision.HIGHEST)

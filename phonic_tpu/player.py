@@ -58,6 +58,14 @@ class PlayerConfig:
     # rebuild removes them all (adopt() carries every surviving state).
     auto_retire_sources: bool = True
     retire_after_dead_sources: int = 8
+    # offline/throughput pump (run()/run_async): how many blocks may be
+    # dispatched ahead of the one being materialized.  JAX dispatch is
+    # async, so depth D overlaps D blocks of device compute + D2H
+    # transfer with the host's fetch wait — on the tunneled TPU the fetch
+    # round trip (~30-65 ms) otherwise bounds the pump.  Control->audible
+    # latency grows by one block per extra depth; interactive callers that
+    # pump via render_block() are unaffected.
+    pipeline_depth: int = 3
 
 
 @dataclasses.dataclass
@@ -1009,19 +1017,23 @@ class Player:
             if duration_frames == 0:
                 return
         end = self._position + duration_frames
-        # depth-1 pipeline: block k+1 is lowered and dispatched (async)
-        # before block k is materialized, so host lowering and the
-        # device render overlap (SURVEY §7: pipelined dispatch)
-        with self._control_lock:
-            pending = self._dispatch_block_locked()
-        while pending is not None:
-            nxt = None
-            if self._position < end:
+        # depth-D pipeline: up to D blocks are lowered and dispatched
+        # (async) before the oldest is materialized, so host lowering, the
+        # device render AND the D2H transfer (copy started at dispatch
+        # time) overlap the fetch wait (SURVEY §7: pipelined dispatch).
+        from collections import deque
+        depth = max(1, int(self.config.pipeline_depth))
+        pending = deque()
+        while True:
+            while len(pending) < depth and self._position < end:
                 with self._control_lock:
-                    nxt = self._dispatch_block_locked()
+                    pending.append(self._dispatch_block_locked())
+            if not pending:
+                break
+            oldest = pending.popleft()
             with self._control_lock:
-                audio = self._finish_block_locked(pending)
-            excess = pending[3] - end
+                audio = self._finish_block_locked(oldest)
+            excess = oldest[3] - end
             if excess > 0:
                 # keep the over-rendered remainder: the engine state stays
                 # at the block boundary, so the next run/pump must deliver
@@ -1031,7 +1043,6 @@ class Player:
                     self._tail = audio[:, valid:]
                 audio = audio[:, :valid]
             self.output.write(audio)
-            pending = nxt
 
     def run_async(self) -> threading.Thread:
         """Start a background pump (realtime devices pace it via their
