@@ -142,6 +142,21 @@ class DelayEffect(Effect):
             * ctx.sample_rate / 1000.0
         )) + 4
 
+    def _slab_rows(self, ctx: BuildCtx) -> int:
+        """Row-slab height for the grouped window read: bounds any
+        128-output group's read-position span.  The delay offset is the
+        spring-smoothed DELAY_TIME (critically damped, max |velocity|
+        from rest = D*omega/e over a distance D; target pumping can
+        raise that ~1.6x — we budget 0.8*D*omega, a 2.2x margin) plus the
+        LFO time modulation, whose waveform may step (square/S&H) but is
+        bounded by +-MAX_LFO_TIME_MOD_MS."""
+        from ..ops.smoothing import spring_omega
+        d_max = float(self._max_offset(ctx))
+        vmax = 0.8 * spring_omega(float(DELAY_TIME.smoothing_arg)) * d_max
+        j_samp = 2.0 * MAX_LFO_TIME_MOD_MS * ctx.sample_rate / 1000.0
+        span = 128.0 * (1.0 + vmax) + j_samp + 130.0
+        return int(math.ceil(span / 128.0)) + 1
+
     def init_state(self, ctx: BuildCtx):
         dt = ctx.scan_dtype
         return {
@@ -236,7 +251,11 @@ class DelayEffect(Effect):
             d_j = sl(delay_samples)
             fb_j = sl(feedback)
             drive_j = sl(drive)
-            delayed = chrono_ops.read_frac_win(rw, d_j)  # [2, B]
+            # grouped slab read: whole-window one-hots cost W-proportional
+            # MXU time (~10 ms/block on a 1 s line); the slab height is
+            # the spring+LFO slew bound (_slab_rows)
+            delayed = chrono_ops.read_frac_win_grouped(
+                rw, d_j, self._slab_rows(ctx))  # [2, B]
 
             coefs = filters.TptCoefficients(
                 sl(a1), sl(a2), sl(a3), sl(m0), sl(m1), sl(m2)

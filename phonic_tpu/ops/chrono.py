@@ -200,3 +200,70 @@ def roll(win, writes):
     frames, append ``writes`` [ch, B] as the newest."""
     b = writes.shape[-1]
     return jnp.concatenate([win[..., b:], writes.astype(win.dtype)], axis=-1)
+
+
+def read_frac_win_grouped(win, offsets, slab_rows: int):
+    """:func:`read_frac_win` with per-128-output-group dynamic row slabs.
+
+    The plain window read builds a [B, W/128] one-hot and matmuls it
+    against the WHOLE window — W-proportional MACs per step (a 1 s delay
+    line at 131072-frame blocks spends ~10 ms/block there).  Read
+    positions are ramps (|Δrel| <= 1 + |Δoffset|), so each 128-output
+    group touches a narrow row band: slice ``slab_rows`` rows around the
+    group's minimum row (dynamic_slice — cheap) and select within the
+    slab, cutting MACs by W/(128*slab_rows).
+
+    ``slab_rows`` must bound every group's row span; the caller derives
+    it from the offset stream's maximum slew (e.g. the spring smoother's
+    velocity bound).  Out-of-bound rels clamp to the slab edge — only
+    reachable if the slew bound is violated.  Offsets: [B] shared across
+    channels or [ch, B] per-channel."""
+    ch, W = win.shape
+    per_channel = jnp.asarray(offsets).ndim == 2
+    b = jnp.asarray(offsets).shape[-1]
+    ptype = win.dtype if jnp.issubdtype(win.dtype, jnp.floating) else jnp.float32
+    offs = jnp.asarray(offsets).astype(ptype)
+    oi = jnp.floor(offs)
+    of = (offs - oi).astype(win.dtype)
+    is_int = of == 0
+    j = jnp.arange(b, dtype=jnp.int32)
+    rel = W + j - oi.astype(jnp.int32) - jnp.where(is_int, 0, 1)
+    frac = jnp.where(is_int, of, 1.0 - of)
+
+    rows = W // _LANE
+    sl = int(slab_rows)
+    if (win.dtype == jnp.float64 or W % _LANE != 0 or b % _LANE != 0
+            or sl >= rows):
+        return read_frac_win(win, offsets)
+
+    g = b // _LANE
+    win2 = win.reshape(ch, rows, _LANE)
+    rel_g = rel.reshape((-1, g, _LANE)) if per_channel else rel.reshape(g, _LANE)
+    lanes = jnp.arange(_LANE, dtype=jnp.int32)
+    rs = jnp.arange(sl, dtype=jnp.int32)
+
+    def group(rel1, w2):
+        # rel1: [LANE] this group's window-relative positions; w2 [rows,128]
+        rmin = jnp.clip(jnp.min(rel1) >> 7, 0, rows - sl)
+        slab = jax.lax.dynamic_slice(w2, (rmin, jnp.int32(0)), (sl, _LANE))
+        rl = jnp.clip(rel1 - rmin * _LANE, 0, sl * _LANE - 2)
+        hi = rl >> 7
+        lo = rl & 127
+        oh = (hi[:, None] == rs[None, :]).astype(w2.dtype)  # [128, sl]
+        w0 = jnp.matmul(oh, slab, precision=jax.lax.Precision.HIGHEST)
+        w1 = jnp.matmul(oh[:, :-1], slab[1:],
+                        precision=jax.lax.Precision.HIGHEST)
+        o = lanes[None, :] - lo[:, None]
+        v1 = jnp.sum(jnp.where(o == 0, w0, 0.0), axis=-1)
+        v2 = jnp.sum(jnp.where(o == 1, w0, 0.0), axis=-1) + \
+            jnp.sum(jnp.where(o == 1 - _LANE, w1, 0.0), axis=-1)
+        return v1, v2
+
+    if per_channel:
+        v1, v2 = jax.vmap(jax.vmap(group, in_axes=(0, None)))(rel_g, win2)
+    else:
+        v1, v2 = jax.vmap(lambda w2: jax.vmap(group, in_axes=(0, None))(
+            rel_g, w2))(win2)
+    v1 = v1.reshape(ch, b)
+    v2 = v2.reshape(ch, b)
+    return v1 + (v2 - v1) * frac

@@ -2,16 +2,29 @@
 
 The reference's only parallelism is an intra-process RT thread pool over
 sub-mixers (src/source/mixed/submixer/thread_pool.rs) — there is no
-distributed layer to port.  The TPU-native scaling story is instead:
+distributed layer to port.  The TPU-native scaling story:
 
-  * one chip renders one graph absurdly faster than real time (XLA fuses the
+  * one chip renders one graph far faster than real time (XLA fuses the
     whole tree, see graph/engine.py);
-  * throughput scales by *batching independent render lanes* — copies of a
+  * `BatchedRenderProgram` batches independent render lanes — copies of a
     graph with different inputs/automation (stems, variations, preview
-    renders) — with ``vmap``, then sharding the lane axis across a
+    renders) — with ``vmap``, and shards the lane axis across a
     ``jax.sharding.Mesh`` so each chip renders its shard.  Lanes are
-    independent, so collectives only appear if a final mixdown across lanes
-    is requested (a psum over the lane axis riding the ICI).
+    independent, so collectives only appear if a final mixdown across
+    lanes is requested (a psum over the lane axis riding the ICI).
+
+The honest scaling law (measured, forced real mode — docs/PERF.md):
+**on ONE chip, wall time is proportional to total work**: N vmapped lanes
+cost ~N times one lane (round-4 sweep; re-confirmed round 5 after the
+Pallas ramp-read: scan8 x4-lane aggregate 182x vs single-lane 183x), and
+scan-over-blocks amortizes dispatch but nothing else.  Lane batching on
+one chip therefore buys packaging (one dispatch, one state tree), NOT
+throughput.  Multi-chip is where lanes pay: each chip renders its lane
+shard at the single-lane rate, so N chips give ~N times aggregate
+throughput with zero cross-chip traffic.  That is the deployment story
+this module implements; it cannot be timed here (one tunneled chip), but
+the sharded step compiles and executes on an 8-device CPU mesh every
+round (__graft_entry__.dryrun_multichip).
 
 `BatchedRenderProgram` wraps a compiled RenderProgram: states and block
 inputs gain a leading ``lanes`` axis, placed on the mesh's "data" axis.
