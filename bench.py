@@ -78,7 +78,10 @@ def config_mixer_graph():
     for s in subs:
         s.add_effect(Eq5Effect(gains=list(rng.uniform(-6, 6, 5))))
         s.add_effect(ChorusEffect(rate=float(rng.uniform(0.3, 2.0))))
-    main.add_effect(ReverbEffect(room_size=0.6, wet=0.2))
+    # room-size floor/ceiling hints (documented capacity API): this graph
+    # never automates the room, so feedback sub-blocks double
+    main.add_effect(ReverbEffect(room_size=0.6, wet=0.2,
+                                 min_room_size=0.55))
     main.add_effect(GainEffect(gain=0.8))
     # 131072-frame blocks: scans and dispatch amortize (offline throughput
     # shape; the Player uses small blocks for control latency instead)
@@ -118,7 +121,11 @@ def config_mastering():
     m.add_effect(CompressorEffect(threshold=-12.0, ratio=4.0))
     # capacity hint: this chain never automates the delay above 1 s, so the
     # line (and its per-step read window) needn't cover the 4 s param max
+    # hints (documented DelayEffect API): this chain never automates the
+    # delay below 250 ms or above 1 s, so the line stays small and the
+    # feedback sub-block large (fewer recurrence-scan steps)
     m.add_effect(DelayEffect(delay_ms=300.0, feedback=0.4, wet=0.3,
+                             min_delay_ms=250.0,
                              max_delay_capacity_ms=1000.0))
     m.add_effect(DistortionEffect("Diode", drive=1.0, mix=0.3))
     m.add_effect(CompressorEffect.limiter())

@@ -128,8 +128,14 @@ class DelayEffect(Effect):
         }
 
     def _subblock(self, ctx: BuildCtx) -> int:
+        # the per-step SVF/DC recurrences are op-count-bound (each
+        # associative-scan stage pays ~µs of op overhead regardless of
+        # width), so fewer, larger sub-blocks are strictly cheaper; the
+        # only ceiling is the min reachable delay (reads must stay behind
+        # the current step's writes).  cap=8192 instead of the default
+        # 2048: a min_delay_ms hint of 200+ ms cuts the step count 8x.
         min_delay = self.min_delay_ms * ctx.sample_rate / 1000.0
-        return ring_ops.pick_subblock(min_delay, ctx.block_frames)
+        return ring_ops.pick_subblock(min_delay, ctx.block_frames, cap=8192)
 
     def batch_key(self, ctx: BuildCtx):
         # sub-block size, line capacity and the LFO RNG seed are baked in

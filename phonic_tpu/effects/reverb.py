@@ -70,7 +70,8 @@ class ReverbEffect(Effect):
     WEIGHT = 5
 
     def __init__(self, room_size: float = 0.6, wet: float = 0.35,
-                 seed: int = 0xA1B2, max_room_size: float = 1.0, name=None):
+                 seed: int = 0xA1B2, max_room_size: float = 1.0,
+                 min_room_size: float = 0.0, name=None):
         super().__init__(name)
         self.room_size = float(room_size)
         self.wet = float(wet)
@@ -84,6 +85,13 @@ class ReverbEffect(Effect):
         if float(room_size) > float(max_room_size):
             raise ValueError("room_size exceeds max_room_size capacity")
         self.max_room_size = float(max_room_size)
+        # floor hint (mirror of max_room_size): promising ROOM_SIZE never
+        # automates BELOW this raises the minimum reachable delay, letting
+        # the feedback scans run fewer, larger sub-blocks (the recurrence
+        # stages are op-count-bound, so step count is the cost)
+        if not (0.0 <= min_room_size <= float(room_size)):
+            raise ValueError("min_room_size must be in [0, room_size]")
+        self.min_room_size = float(min_room_size)
         size_cap = self.max_room_size ** 2 * 75.0 + 25.0
         self._line_buf = 1 << int(79.0 * size_cap + 1).bit_length()
         self._ap_buf = 1 << int(43.0 * size_cap + 1).bit_length()
@@ -117,7 +125,7 @@ class ReverbEffect(Effect):
         # (a state SHAPE): instances with equal capacity trace identically
         # and can share one vmapped run
         return (type(self).__name__, self._line_buf, self._ap_buf,
-                self._pre_max)
+                self._pre_max, self._subblocks(ctx))
 
     def init_state(self, ctx: BuildCtx):
         rng = np.random.default_rng(self.seed)
@@ -165,10 +173,15 @@ class ReverbEffect(Effect):
                                     ctx.sample_rate)
 
     def _subblocks(self, ctx: BuildCtx):
-        # smallest size = 25 (room 0): min allpass delay 31*25=775, min line
-        # delay 47*25=1175 with <=15 samples of vibrato margin
-        b_ap = ring_ops.pick_subblock(31 * 25, ctx.block_frames, cap=512)
-        b_fdn = ring_ops.pick_subblock(47 * 25 - 18, ctx.block_frames, cap=1024)
+        # smallest reachable size (room >= min_room_size; room 0 -> 25):
+        # min allpass delay 31*size, min line delay 47*size with <=15
+        # samples of vibrato margin.  The min_room_size hint raises both,
+        # allowing fewer, larger feedback sub-blocks.
+        size_min = self.min_room_size ** 2 * 75.0 + 25.0
+        b_ap = ring_ops.pick_subblock(31 * size_min, ctx.block_frames,
+                                      cap=2048)
+        b_fdn = ring_ops.pick_subblock(47 * size_min - 18, ctx.block_frames,
+                                       cap=4096)
         return b_ap, b_fdn
 
     def process(self, state, x, params, ctx: BuildCtx):
@@ -194,6 +207,10 @@ class ReverbEffect(Effect):
             # capacity contract: buffers are sized for max_room_size, so the
             # clamp never binds for in-contract automation
             room = jnp.minimum(room, np.float32(self.max_room_size))
+        if self.min_room_size > 0.0:
+            # floor contract: sub-blocks are sized for min_room_size (see
+            # _subblocks); the clamp never binds for in-contract automation
+            room = jnp.maximum(room, np.float32(self.min_room_size))
         wet = params[WET.id]  # [n] exp-smoothed
         # derived controls (reverb.rs:408-420); sizes at block rate
         room0 = room[0]

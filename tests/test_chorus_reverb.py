@@ -143,3 +143,36 @@ def test_reverb_reset_flushes_tail():
     after = np.sqrt(np.mean(out[0, 8 * n : 9 * n] ** 2))
     assert ringing > 1e-4, ringing
     assert after < ringing * 0.02, (ringing, after)
+
+
+def test_reverb_min_room_hint_subblock_invariance():
+    """min_room_size raises the feedback sub-block sizes (reverb._subblocks);
+    the rendered audio must not depend on the sub-block split."""
+    import pytest
+    from phonic_tpu import (AudioFileBuffer, EngineConfig, FilePlaybackOptions,
+                            FileSource, Mixer, RenderProgram)
+    from phonic_tpu.effects.reverb import ReverbEffect
+
+    with pytest.raises(ValueError):
+        ReverbEffect(room_size=0.4, min_room_size=0.5)  # floor above value
+
+    n = 4096
+    cfg = EngineConfig(sample_rate=SR, channels=2, block_frames=n,
+                       batch_sources=False)
+    frames = SR // 4
+    t = np.arange(frames) / SR
+    x = (0.5 * np.sin(2 * np.pi * 330.0 * t) * np.exp(-t * 20)).astype(np.float32)
+    buf = AudioFileBuffer.from_array(np.stack([x, x]), SR)
+
+    outs = {}
+    for tag, kw in {"default": {}, "hinted": {"min_room_size": 0.55}}.items():
+        main = Mixer("main")
+        main.add_source(FileSource(buf, FilePlaybackOptions(fade_out_secs=0.0)))
+        main.add_effect(ReverbEffect(room_size=0.6, wet=0.5, **kw))
+        prog = RenderProgram(main, cfg)
+        outs[tag] = np.asarray(prog.render(duration_frames=4 * n, mode="loop"))
+    a, b = outs["default"], outs["hinted"]
+    sub_d = ReverbEffect(room_size=0.6)._subblocks(cfg)
+    sub_h = ReverbEffect(room_size=0.6, min_room_size=0.55)._subblocks(cfg)
+    assert sub_h[1] > sub_d[1], (sub_d, sub_h)  # the hint actually bites
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-6)
