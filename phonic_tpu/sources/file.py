@@ -146,8 +146,12 @@ class FileSource(Source):
             # the current bucket changes the packed-input structure, which
             # bumps the engine's _pack_version and retraces the step with
             # the wider read windows (one planned retrace per growth)
-            out["_spd_tag"] = np.zeros((self._speed_bucket(self._ctx_sr) + 1,),
-                                       np.float32)
+            # _ctx_sr is pinned by init_state; stacked lowering may run
+            # before the first state build (e.g. precomputing a block
+            # span), where the buffer-rate fallback gives the same bucket
+            out["_spd_tag"] = np.zeros(
+                (self._speed_bucket(getattr(self, "_ctx_sr", None)) + 1,),
+                np.float32)
         return out
 
     def _uses_mm2(self) -> bool:
