@@ -162,16 +162,19 @@ def config_player_rt():
 CONFIGS = {
     # headline first: if a harness-level time budget cuts the run short,
     # the metric that matters is already recorded (results are written
-    # incrementally).  Plain x8/x16 lane sweeps were dropped from the
-    # driver bench (wall time is ~proportional to total work on this
-    # backend, so they repeat the x1 number while burning two compile
-    # budgets — docs/PERF.md); the scan8 x16 aggregate shape still runs.
+    # incrementally).  After it, configs run in MISSING-DATA priority:
+    # granular/mastering/player_rt have the thinnest official records
+    # (r4 starved them on compile budget), while play_file and sampler
+    # have solid histories and can afford to be skipped.  Plain lane
+    # sweeps and the scan8 x16 aggregate were dropped — wall time is
+    # ~proportional to total work on this backend, so they repeat the x1
+    # number while burning compile budget (docs/PERF.md round 5).
     "mixer_graph_16src": config_mixer_graph,
-    "play_file": config_play_file,
-    "sampler_64v": config_sampler_64,
     "granular_1k": config_granular_1k,
     "mastering_chain": config_mastering,
     "player_rt_8192": config_player_rt,
+    "play_file": config_play_file,
+    "sampler_64v": config_sampler_64,
 }
 
 HEADLINE = "mixer_graph_16src"
@@ -320,8 +323,14 @@ def main():
     # batching or scan depth (probe_r5e: scan8 x1 = 131x, scan8 x4
     # aggregate = 182x vs plain single-lane 183x), so the shape repeated
     # the single-lane number while burning a 160-260 s compile budget.
+    # per-config alarms: the headline gets a wide window (the first config
+    # absorbs relay warmup, which can take minutes after a heavy session);
+    # later configs are all cache-warm (~30-60 s compile + ~5 s measure on
+    # a healthy relay), so a 120 s alarm bounds the damage a degraded
+    # relay can do — every config still gets ATTEMPTED inside the total
+    # budget and whichever complete are recorded incrementally.
     for name, make in CONFIGS.items():
-        run_one(name, 420 if name != "player_rt_8192" else 300,
+        run_one(name, 420 if name == HEADLINE else 120,
                 lambda make=make: bench_program(make()))
 
     value = results.get(HEADLINE)
